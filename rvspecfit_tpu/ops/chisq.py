@@ -1,0 +1,105 @@
+"""Continuum-marginalized chi-square kernel.
+
+The likelihood of a spectrum given a template, with the continuum
+correction polynomial coefficients analytically marginalized
+(profiled) out.  This is the second-hottest kernel of the fit
+(reference math: py/rvspecfit/spec_fit.py:203-354).
+
+With data D = spec/espec and design matrix S whose rows are
+(continuum basis_i * template / espec), the returned value is
+
+    -2 log L = log det(S S^T) + 2 sum(log espec) + || D - a^T S ||^2
+
+with a the weighted-least-squares continuum coefficients.
+
+TPU design: one fused function of the per-trial template vector.
+The (npoly x npix) x (npix x npoly) normal-matrix product maps to the
+MXU; the (npoly x npoly) factorization is tiny and is done with a
+Cholesky solve (optionally in float64 — negligible cost at this size
+even with TPU f64 emulation) with an in-graph ridge retry replacing
+the reference's numba-Cholesky -> scipy-SVD fallback chain.  Batching
+over trial points is a plain vmap.
+
+The residual form ||D - S^T a||^2 (rather than D^T D - v^T M^-1 v) is
+used deliberately: it is numerically stable in float32, which is what
+makes the TPU fast path match the float64 reference to ~1e-3 in chi2.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def chol_solve_logdet(m, v, ridge_rel=1e-10):
+    """Solve m a = v for SPD m; return (a, log det m).
+
+    Includes one in-graph ridge retry for numerically non-PD inputs
+    (the analogue of the reference's Cholesky->SVD fallback).
+    """
+    n = m.shape[-1]
+    eye = jnp.eye(n, dtype=m.dtype)
+
+    def factor(mat):
+        chol = jnp.linalg.cholesky(mat)
+        ok = jnp.isfinite(chol).all()
+        return chol, ok
+
+    chol1, ok1 = factor(m)
+    scale = jnp.trace(m) / n
+    chol2, _ = factor(m + (ridge_rel * scale) * eye)
+    chol = jnp.where(ok1, chol1, chol2)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    a = jax.scipy.linalg.cho_solve((chol, True), v)
+    return a, logdet
+
+
+def chisq_continuum_marg(dvec, templ_over_espec, polys, log_espec_sum,
+                         solve_dtype=None, with_coeffs=False):
+    """Continuum-marginalized -2 log L for one dataset and one template.
+
+    Parameters
+    ----------
+    dvec : (npix,) spec / espec  (static per dataset)
+    templ_over_espec : (npix,) template / espec (per trial)
+    polys : (npoly, npix) continuum basis (static per dataset)
+    log_espec_sum : scalar, sum(log espec) (static per dataset)
+    solve_dtype : optional dtype for the tiny normal-matrix solve
+        (float64 recommended on float32 runs)
+    with_coeffs : also return continuum coefficients a (npoly,)
+
+    Returns
+    -------
+    chisq : scalar -2 log L (up to the constant chosen by the
+        reference convention), same dtype as inputs
+    coeffs : (npoly,), only if with_coeffs
+    """
+    dt = dvec.dtype
+    npoly = polys.shape[0]
+    # Exact scale normalization: working with t/s keeps the normal
+    # matrix O(npix) regardless of flux units (raw template/espec can
+    # reach ~1e18, whose square overflows float32), and chi-square is
+    # corrected analytically by the marginalization volume term
+    # 2*npoly*log(s).
+    # max-abs (not RMS): the sum of squares itself can overflow f32.
+    scale = jnp.max(jnp.abs(templ_over_espec))
+    scale = jnp.maximum(scale, jnp.finfo(dt).tiny)
+    tnorm = templ_over_espec / scale
+
+    st = polys * tnorm[None, :]                            # (npoly, npix)
+    m = jnp.dot(st, st.T, preferred_element_type=dt)       # (npoly, npoly)
+    v = jnp.dot(st, dvec, preferred_element_type=dt)       # (npoly,)
+
+    if solve_dtype is not None:
+        a, logdet = chol_solve_logdet(m.astype(solve_dtype),
+                                      v.astype(solve_dtype))
+        a = a.astype(dt)
+        logdet = logdet.astype(dt)
+    else:
+        a, logdet = chol_solve_logdet(m, v)
+
+    resid = dvec - jnp.dot(a, st, preferred_element_type=dt)
+    chisq = (logdet + 2.0 * npoly * jnp.log(scale) + 2.0 * log_espec_sum
+             + jnp.dot(resid, resid))
+    if with_coeffs:
+        return chisq, a / scale
+    return chisq
