@@ -1,0 +1,164 @@
+"""Configuration system and batch-orchestration utilities.
+
+Equivalent of the reference config/ops glue (py/rvspecfit/utils.py):
+YAML config -> defaults merge -> frozen mapping, plus the shared-
+filesystem work queue used for multi-host batch runs.  The MPI task
+farm of the reference maps, on TPU, to per-host file sharding over a
+jax.distributed world (see parallel/mesh.py); the lock-file queue is
+kept for HPC filesystem interop.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import socket
+import time
+
+import numpy as np
+import yaml
+
+from rvspecfit_tpu.frozendict import frozendict
+
+
+def get_default_config():
+    """Default fit configuration (keys mirror the reference semantics,
+    reference: py/rvspecfit/utils.py:9-28)."""
+    return {
+        'min_vel': -1000,
+        'max_vel': 1000,
+        'vel_step0': 5,
+        'max_vsini': 500,
+        'min_vsini': 1e-2,
+        'min_vel_step': 0.2,
+        'second_minimizer': True,
+        'template_lib': 'templ_data/',
+    }
+
+
+def freeze(obj):
+    """Recursively freeze dicts -> frozendict, lists -> tuples."""
+    if isinstance(obj, dict):
+        return frozendict({k: freeze(v) for k, v in obj.items()})
+    if isinstance(obj, list):
+        return tuple(freeze(v) for v in obj)
+    return obj
+
+
+def read_config(fname=None, override_options=None):
+    """Read a YAML config, fill defaults, apply overrides, freeze.
+
+    Returns a frozendict usable as a static jit argument / cache key.
+    """
+    fname_specified = fname is not None
+    if fname is None:
+        fname = 'config.yaml'
+    if os.path.exists(fname):
+        with open(fname) as fp:
+            conf = yaml.safe_load(fp)
+        if conf is None:
+            conf = {}
+            logging.warning('Configuration file %s is empty; using defaults',
+                            fname)
+    else:
+        if fname_specified:
+            raise RuntimeError(f"Configuration file '{fname}' not found.")
+        logging.warning("Configuration file '%s' not found; using defaults",
+                        fname)
+        conf = {}
+    for k, v in get_default_config().items():
+        conf.setdefault(k, v)
+    conf['config_file_path'] = os.path.abspath(fname)
+    if override_options:
+        for k, v in override_options.items():
+            if k in conf and conf[k] != v:
+                logging.warning('Option %s overrides the config-file value', k)
+            conf[k] = v
+    return freeze(conf)
+
+
+class FileQueue:
+    """Iterator over input files: list, file, or shared lock-file queue.
+
+    In queue mode the text file itself is the shared work queue:
+    popping is made atomic across processes/hosts on a shared
+    filesystem by renaming the file to a per-consumer lock name,
+    removing the first line, and renaming it back
+    (reference semantics: py/rvspecfit/utils.py:113-177).
+    """
+
+    def __init__(self, file_list=None, file_from=None, queue=False):
+        self.file_from = None
+        self.queue = False
+        if file_list is not None:
+            self.file_list = list(file_list)
+        elif file_from is not None:
+            if not queue:
+                with open(file_from) as fp:
+                    self.file_list = [ln.rstrip('\n') for ln in fp
+                                      if ln.strip()]
+            else:
+                self.file_list = None
+                self.file_from = file_from
+                self.queue = True
+        else:
+            raise ValueError('provide file_list or file_from')
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self.file_list is not None:
+            if self.file_list:
+                return self.file_list.pop(0)
+            raise StopIteration
+        return self._pop_locked()
+
+    def _pop_locked(self):
+        lockname = '%s.%s.%d.lock' % (self.file_from, socket.gethostname(),
+                                      os.getpid())
+        wait = 1.0
+        for _ in range(1000):
+            try:
+                os.rename(self.file_from, lockname)
+            except FileNotFoundError:
+                time.sleep(np.random.uniform(wait, 1.5 * wait))
+                continue
+            try:
+                with open(lockname) as fp:
+                    lines = fp.readlines()
+                if not lines:
+                    raise StopIteration
+                ret = lines[0].rstrip('\n')
+                with open(lockname, 'w') as fp:
+                    fp.writelines(lines[1:])
+                return ret
+            finally:
+                os.rename(lockname, self.file_from)
+        logging.warning('Could not acquire the queue-file lock')
+        raise StopIteration
+
+    def shutdown(self):
+        pass
+
+
+class ShardedFileQueue:
+    """Static round-robin sharding of a file list across hosts.
+
+    The TPU-native replacement for the reference's MPI dynamic task
+    farm: with independent per-file work there is no need for a
+    central server — each host of a jax.distributed world takes
+    files[rank::world] deterministically.
+    """
+
+    def __init__(self, file_list, rank=None, world=None):
+        if rank is None:
+            rank = int(os.environ.get('RVS_TPU_RANK', '0'))
+        if world is None:
+            world = int(os.environ.get('RVS_TPU_WORLD', '1'))
+        self.files = list(file_list)[rank::max(world, 1)]
+
+    def __iter__(self):
+        return iter(self.files)
+
+    def shutdown(self):
+        pass
