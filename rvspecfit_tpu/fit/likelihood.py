@@ -1,0 +1,310 @@
+"""The fused, batched spectral likelihood.
+
+This is the TPU re-design of the reference hot path
+(reference: py/rvspecfit/spec_fit.py:797-989 `get_chisq` and its
+callees).  Where the reference evaluates one (velocity, parameters,
+vsini) point at a time through a chain of lru-cached Python calls and
+a C spline, here the *entire* chain —
+
+    parameter mapping -> template interpolation (gather / MLP)
+    -> rotational broadening -> spline construction
+    -> Doppler-shifted spline evaluation -> resolution convolution
+    -> continuum-marginalized chi-square -> outside-grid penalties
+
+— is one jit-compiled function of a whole *batch* of trial points,
+with arms unrolled statically.  Optimizers, velocity-grid scans, and
+per-fiber batches all call the same compiled kernel with different
+batch contents; XLA fuses the elementwise stages and maps the
+normal-matrix contractions onto the MXU.
+
+Semantics replicated from the reference (with file:line citations):
+* outside-grid penalty ``outside * 10 * sum(npix)`` added per arm
+  (spec_fit.py:863, :888-896);
+* templates with |values| > 1e100 or non-finite outside the grid get
+  the 1000x bad-chi contribution (spec_fit.py:392-397, :888-891);
+* non-finite chi-square with a finite template outside the grid is
+  skipped with just the penalty (spec_fit.py:963-969); inside the
+  grid it surfaces as +inf (the reference raises; in-graph we return
+  inf which optimizers treat as a rejected point and hosts can check);
+* systematic error added in quadrature, per-call resolution matrices
+  mutually exclusive with per-dataset ones (spec_fit.py:922-940).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvspecfit_tpu.fit.spec_data import ArmState, SpecData
+from rvspecfit_tpu.interp.api import TemplateModel
+from rvspecfit_tpu.ops import spline as spline_mod
+from rvspecfit_tpu.ops import vsini as vsini_mod
+from rvspecfit_tpu.ops import chisq as chisq_mod
+
+SPEED_OF_LIGHT = 299792.458  # km/s
+MAX_TEMPLATE_VALUE = 1e100
+
+
+def _overlap_check(templ_lam, arm_lam, min_vel, max_vel):
+    """Template must cover the data at all considered velocities
+    (reference: py/rvspecfit/spec_fit.py:786-794)."""
+    for vel in (min_vel, max_vel):
+        corr = np.sqrt((1 + vel / SPEED_OF_LIGHT)
+                       / (1 - vel / SPEED_OF_LIGHT))
+        if templ_lam[0] * corr > arm_lam[0] or templ_lam[-1] * corr < \
+                arm_lam[-1]:
+            raise RuntimeError(
+                f'Template wavelengths ({templ_lam[0]},{templ_lam[-1]}) do '
+                f'not cover the data ({arm_lam[0]},{arm_lam[-1]}) at '
+                f'velocities {min_vel}..{max_vel}')
+
+
+class FusedChisq:
+    """Compiled batched likelihood for a fixed set of datasets.
+
+    Parameters
+    ----------
+    specdata : list of SpecData
+    templates : dict setup-name -> TemplateModel (must contain every
+        dataset's name, or provide ``setup_of`` to map names)
+    config : mapping with min_vel/max_vel/max_vsini
+    options : dict, npoly (default 5) and rbf_continuum (default True)
+    resol_mats : optional dict name -> BandedMatrix (per-call
+        resolution; exclusive with per-SpecData resolution)
+    espec_systematic : optional float or dict name -> float
+    use_vsini : static bool — whether trial points carry a vsini to
+        convolve with (fixed-but-nonzero vsini also needs True)
+    outside_penalty : include the outside-grid penalty term
+    solve_dtype : dtype for the tiny continuum solves (None = input)
+    dtype : device dtype of the constants (None = jax default)
+    """
+
+    def __init__(self, specdata, templates, config, options=None,
+                 resol_mats=None, espec_systematic=None, use_vsini=False,
+                 outside_penalty=True, solve_dtype=None, dtype=None):
+        if isinstance(specdata, SpecData):
+            specdata = [specdata]
+        options = options or {}
+        self.npoly = options.get('npoly') or 5
+        self.rbf = options.get('rbf_continuum', True)
+        self.config = config
+        self.use_vsini = bool(use_vsini)
+        self.outside_penalty = bool(outside_penalty)
+        self.solve_dtype = solve_dtype
+        self.specdata = list(specdata)
+
+        self.arms = []
+        for sd in specdata:
+            sysdict = espec_systematic
+            if isinstance(espec_systematic, dict):
+                sysdict = espec_systematic[sd.name]
+            rm = None if resol_mats is None else resol_mats.get(sd.name)
+            self.arms.append(ArmState.build(
+                sd, npoly=self.npoly, rbf=self.rbf,
+                espec_systematic=sysdict, resol_matrix=rm, dtype=dtype))
+
+        self.templates = {}
+        setups = {a.setup for a in self.arms}
+        for s in setups:
+            if s not in templates:
+                raise KeyError(f'no template model for setup {s!r}')
+            self.templates[s] = templates[s]
+
+        min_vel, max_vel = config['min_vel'], config['max_vel']
+        for arm in self.arms:
+            tm = self.templates[arm.setup]
+            _overlap_check(tm.lam, np.asarray(arm.lam), min_vel, max_vel)
+
+        self.badchi = float(10 * sum(a.npix for a in self.arms))
+        # static vsini kernel half-width from the configured max vsini
+        self._half_widths = {}
+        if self.use_vsini:
+            for s, tm in self.templates.items():
+                self._half_widths[s] = vsini_mod.kernel_half_width(
+                    float(config['max_vsini']), tm.log_step)
+
+        self._jit_trials = jax.jit(self._chisq_trials)
+        self._jit_full = jax.jit(self._full_single)
+
+    # ---------------- core batched computation ----------------
+
+    def _template_stage(self, setup, params, vsinis):
+        """(T,ndim),(T,) -> spline coeffs (T,n-1,4), outside, crap, finite."""
+        tm = self.templates[setup]
+        spec_t, outside = tm.eval_batch(params)           # (T, npixt)
+        finite_t = jnp.isfinite(spec_t).all(axis=-1)
+        maxabs = jnp.max(jnp.abs(jnp.where(jnp.isfinite(spec_t), spec_t,
+                                           0.0)), axis=-1)
+        # template garbage detection (reference spec_fit.py:392-397)
+        crap = (outside > 0) & (~finite_t | (maxabs > MAX_TEMPLATE_VALUE))
+        spec_safe = jnp.where(finite_t[:, None], spec_t, 1.0)
+        if self.use_vsini:
+            hw = self._half_widths[setup]
+            kern = jax.vmap(
+                lambda v: vsini_mod.rotation_kernel(
+                    v, tm.log_step, hw, dtype=spec_safe.dtype))(vsinis)
+            spec_safe = jax.vmap(vsini_mod.convolve_kernel_same)(
+                spec_safe, kern)
+        coeffs = spline_mod.spline_coeffs(tm.geom, spec_safe)
+        return coeffs, outside, crap, finite_t
+
+    def _chisq_trials(self, vels, params, vsinis):
+        """(T,),(T,ndim),(T,) -> (T,) total -2logL."""
+        vels = jnp.atleast_1d(vels)
+        beta = vels / SPEED_OF_LIGHT
+        dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))       # (T,)
+
+        stage = {s: self._template_stage(s, params, vsinis)
+                 for s in self.templates}
+
+        total = jnp.zeros_like(vels)
+        for arm in self.arms:
+            coeffs, outside, crap, finite_t = stage[arm.setup]
+            q = arm.lam[None, :] * dop[:, None]           # (T, npix)
+            tm = self.templates[arm.setup]
+            val, _ = jax.vmap(
+                lambda c, x: spline_mod.spline_eval(tm.geom, c, x))(coeffs, q)
+            if arm.band is not None:
+                val = jax.vmap(arm.band.matvec)(val)
+            t_over_e = val * arm.espec_inv[None, :]
+            chi = jax.vmap(
+                lambda t: chisq_mod.chisq_continuum_marg(
+                    arm.dvec, t, arm.polys, arm.log_espec_sum,
+                    solve_dtype=self.solve_dtype))(t_over_e)
+
+            penalty = outside * self.badchi if self.outside_penalty else 0.0
+            good = jnp.isfinite(chi)
+            # salvage: non-finite chi2 for a finite template outside
+            # the grid contributes penalty only (spec_fit.py:963-969);
+            # non-finite inside the grid -> inf
+            inf = jnp.asarray(jnp.inf, dtype=vels.dtype)
+            contrib = jnp.where(
+                crap, 1000.0 * self.badchi,
+                jnp.where(good, chi + penalty,
+                          jnp.where((outside > 0) & finite_t, penalty, inf)))
+            total = total + contrib
+        return total
+
+    # ---------------- public API ----------------
+
+    def chisq_trials(self, vels, params, vsinis=None, chunk=None):
+        """Batched -2logL at trial points.
+
+        vels : (T,), params : (T, ndim), vsinis : (T,) or None.
+        ``chunk`` optionally bounds the compiled batch size (the last
+        chunk is padded, so only two program shapes ever compile).
+        """
+        vels = jnp.asarray(vels)
+        params = jnp.asarray(params)
+        t = vels.shape[0]
+        if vsinis is None:
+            vsinis = jnp.zeros(t, dtype=vels.dtype)
+        else:
+            vsinis = jnp.asarray(vsinis)
+        if chunk is None or t <= chunk:
+            return self._jit_trials(vels, params, vsinis)
+        outs = []
+        for i in range(0, t, chunk):
+            sl = slice(i, min(i + chunk, t))
+            v, p, w = vels[sl], params[sl], vsinis[sl]
+            pad = chunk - v.shape[0]
+            if pad:
+                v = jnp.pad(v, (0, pad))
+                p = jnp.pad(p, ((0, pad), (0, 0)), mode='edge')
+                w = jnp.pad(w, (0, pad))
+            outs.append(self._jit_trials(v, p, w)[:sl.stop - sl.start])
+        return jnp.concatenate(outs)
+
+    def chisq_one(self, vel, params, vsini=None):
+        """Scalar convenience wrapper."""
+        v = jnp.asarray([vel], dtype=jnp.asarray(self.arms[0].lam).dtype)
+        p = jnp.asarray(params)[None, :]
+        w = None if vsini is None else jnp.asarray([vsini])
+        return float(self.chisq_trials(v, p, w)[0])
+
+    # ---------------- full-output path ----------------
+
+    def _full_single(self, vel, params, vsini):
+        """Models + per-arm statistics at one point
+        (reference: spec_fit.py:946-961)."""
+        coeffs_by_setup = {
+            s: self._template_stage(s, params[None, :], vsini[None])
+            for s in self.templates}
+        beta = vel / SPEED_OF_LIGHT
+        dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
+        out = {'models': [], 'raw_models': [], 'chisq_marg': []}
+        for arm in self.arms:
+            coeffs, outside, crap, finite_t = coeffs_by_setup[arm.setup]
+            tm = self.templates[arm.setup]
+            val, _ = spline_mod.spline_eval(tm.geom, coeffs[0], arm.lam * dop)
+            if arm.band is not None:
+                val = arm.band.matvec(val)
+            t_over_e = val * arm.espec_inv
+            chi, coef = chisq_mod.chisq_continuum_marg(
+                arm.dvec, t_over_e, arm.polys, arm.log_espec_sum,
+                solve_dtype=self.solve_dtype, with_coeffs=True)
+            model = jnp.dot(coef, arm.polys * val[None, :])
+            out['models'].append(model)
+            out['raw_models'].append(val)
+            out['chisq_marg'].append(chi)
+        return out
+
+    def full_output(self, vel, params, vsini=None):
+        """Chi-square + best-fit models + per-arm true chi-squares.
+
+        Returns a dict with the reference's full_output keys
+        (spec_fit.py:977-986): chisq, logl, chisq_array,
+        red_chisq_array, npix_array, models, raw_models.
+        """
+        dt = self.arms[0].dvec.dtype
+        vel_j = jnp.asarray(vel, dtype=dt)
+        par_j = jnp.asarray(params, dtype=dt)
+        vs_j = jnp.asarray(0.0 if vsini is None else vsini, dtype=dt)
+        raw = self._jit_full(vel_j, par_j, vs_j)
+        chisq_total = float(self.chisq_trials(
+            vel_j[None], par_j[None, :],
+            None if vsini is None else vs_j[None])[0])
+
+        models = [np.asarray(m) for m in raw['models']]
+        ret = dict(chisq=chisq_total, logl=-0.5 * chisq_total,
+                   models=models,
+                   raw_models=[np.asarray(m) for m in raw['raw_models']],
+                   chisq_array=[], red_chisq_array=[], npix_array=[])
+        for sd, model in zip(self.specdata, models):
+            dev = (model - sd.spec) / sd.espec
+            mask = ~sd.badmask
+            true_chi = float((dev[mask]**2).sum())
+            npixg = int(mask.sum())
+            ret['chisq_array'].append(true_chi)
+            ret['npix_array'].append(npixg)
+            ret['red_chisq_array'].append(true_chi / max(npixg, 1))
+        return ret
+
+
+def get_chisq_continuum(specdata, options=None):
+    """Continuum-only fit quality per dataset
+    (reference: py/rvspecfit/spec_fit.py:739-783).
+
+    Fits each spectrum with the continuum basis times a flat template
+    (resolution-convolved when the dataset has one) and returns proper
+    and reduced chi-squares.
+    """
+    options = options or {}
+    npoly = options.get('npoly') or 5
+    rbf = options.get('rbf_continuum', True)
+    chisq_array = np.zeros(len(specdata))
+    redchisq_array = np.zeros(len(specdata))
+    for i, sd in enumerate(specdata):
+        arm = ArmState.build(sd, npoly=npoly, rbf=rbf)
+        templ = jnp.ones(len(sd.spec), dtype=arm.dvec.dtype)
+        if arm.band is not None:
+            templ = arm.band.matvec(templ)
+        _, coef = chisq_mod.chisq_continuum_marg(
+            arm.dvec, templ * arm.espec_inv, arm.polys, arm.log_espec_sum,
+            with_coeffs=True)
+        model = np.asarray(jnp.dot(coef, arm.polys * templ[None, :]))
+        dev = (model - sd.spec) / sd.espec
+        mask = ~sd.badmask
+        chisq_array[i] = (dev[mask]**2).sum()
+        redchisq_array[i] = chisq_array[i] / max(mask.sum(), 1)
+    return dict(chisq_array=chisq_array, redchisq_array=redchisq_array)

@@ -1,0 +1,122 @@
+"""Spectroscopic dataset containers.
+
+``SpecData`` is the host-level immutable description of one observed
+spectrum in one instrument arm (role of the reference SpecData,
+py/rvspecfit/spec_fit.py:70-145).  The device-resident constants
+derived from it (data vector, continuum basis, banded resolution)
+live in ``ArmState`` (a pytree closed over by the jitted likelihood).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvspecfit_tpu.ops import basis as basis_mod
+from rvspecfit_tpu.ops.resolution import BandedMatrix
+
+_objid_counter = itertools.count(1)
+
+
+class SpecData:
+    """One observed spectrum: name, wavelengths, flux, errors, mask.
+
+    Immutable and hashable (by identity token) so it can key host-side
+    caches of derived device state.
+    """
+
+    __slots__ = ('name', 'lam', 'spec', 'espec', 'badmask', 'resolution',
+                 '_objid')
+
+    def __init__(self, name, lam, spec, espec, badmask=None, resolution=None,
+                 dtype=np.float64):
+        self.name = str(name)
+        self.lam = np.ascontiguousarray(lam, dtype=dtype)
+        self.spec = np.ascontiguousarray(spec, dtype=dtype)
+        self.espec = np.ascontiguousarray(espec, dtype=dtype)
+        if badmask is None:
+            badmask = np.zeros(len(self.spec), dtype=bool)
+        self.badmask = np.ascontiguousarray(badmask, dtype=bool)
+        if resolution is not None and not isinstance(resolution,
+                                                     BandedMatrix):
+            raise TypeError('resolution must be a BandedMatrix')
+        self.resolution = resolution
+        if not (len(self.lam) == len(self.spec) == len(self.espec)
+                == len(self.badmask)):
+            raise ValueError('inconsistent array lengths')
+        self._objid = next(_objid_counter)
+
+    def __hash__(self):
+        return self._objid
+
+    def __eq__(self, other):
+        return self is other
+
+    def __len__(self):
+        return len(self.lam)
+
+    def __repr__(self):
+        return (f'SpecData({self.name!r}, npix={len(self.lam)}, '
+                f'lam=[{self.lam[0]:.1f}..{self.lam[-1]:.1f}])')
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ArmState:
+    """Device constants of one arm for the fused likelihood."""
+
+    lam: jnp.ndarray            # (npix,)
+    dvec: jnp.ndarray           # (npix,) spec/espec
+    espec_inv: jnp.ndarray      # (npix,) 1/espec
+    polys: jnp.ndarray          # (npoly, npix) continuum basis
+    log_espec_sum: jnp.ndarray  # scalar
+    band: BandedMatrix | None   # optional resolution matrix
+    name: str                   # static
+    setup: str                  # static: template setup key
+
+    def tree_flatten(self):
+        children = (self.lam, self.dvec, self.espec_inv, self.polys,
+                    self.log_espec_sum, self.band)
+        return children, (self.name, self.setup)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        name, setup = aux
+        return cls(*children, name, setup)
+
+    @property
+    def npix(self):
+        return self.lam.shape[0]
+
+    @classmethod
+    def build(cls, sd: SpecData, npoly=5, rbf=True, espec_systematic=None,
+              resol_matrix=None, dtype=None, setup=None):
+        """Derive device constants from a SpecData.
+
+        ``espec_systematic`` is added in quadrature to the error vector
+        (reference semantics: py/rvspecfit/spec_fit.py:933-940).
+        ``resol_matrix`` is a per-call resolution override, mutually
+        exclusive with the SpecData's own resolution
+        (reference: py/rvspecfit/spec_fit.py:922-929).
+        """
+        espec = sd.espec
+        if espec_systematic is not None:
+            espec = np.sqrt(np.asarray(espec_systematic)**2 + espec**2)
+        if resol_matrix is not None and sd.resolution is not None:
+            raise ValueError('resol_params cannot be combined with a '
+                             'per-SpecData resolution')
+        band = resol_matrix if resol_matrix is not None else sd.resolution
+        polys = basis_mod.continuum_basis(sd.lam, npoly, rbf=rbf)
+        if dtype is None:
+            dtype = jnp.zeros(0).dtype
+        to = lambda x: jnp.asarray(x, dtype=dtype)
+        if band is not None:
+            band = BandedMatrix(band.offsets, band.bands.astype(dtype))
+        return cls(lam=to(sd.lam), dvec=to(sd.spec / espec),
+                   espec_inv=to(1.0 / espec), polys=to(polys),
+                   log_espec_sum=to(np.log(espec).sum()),
+                   band=band, name=sd.name,
+                   setup=setup if setup is not None else sd.name)
