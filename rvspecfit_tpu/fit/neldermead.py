@@ -1,0 +1,150 @@
+"""Batched Nelder-Mead simplex minimization in JAX.
+
+The reference drives its maximum-likelihood fit with scipy's
+Nelder-Mead (reference: py/rvspecfit/vel_fit.py:630-650).  On TPU the
+optimizer must (a) run under jit with fixed shapes and (b) optimize
+*many* objects at once — each DESI fiber is an independent small
+problem.  This module implements the standard simplex algorithm
+(alpha=1, gamma=2, rho=0.5, sigma=0.5, scipy-compatible fatol/xatol
+convergence) natively over a batch axis:
+
+* per iteration the reflection point is evaluated for every instance,
+  then exactly one second candidate (expansion or contraction) — two
+  fused batched likelihood calls per iteration;
+* the rare shrink step evaluates the shrunk simplex under a
+  ``lax.cond`` so its cost is paid only on iterations where some
+  instance actually shrinks;
+* converged instances are frozen by masking, and the whole loop is a
+  ``lax.while_loop`` that exits when all instances converge or the
+  iteration cap is reached.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _sorted_simplex(simplex, fvals):
+    order = jnp.argsort(fvals, axis=-1)                  # (B, n+1)
+    f_sorted = jnp.take_along_axis(fvals, order, axis=-1)
+    s_sorted = jnp.take_along_axis(simplex, order[..., None], axis=-2)
+    return s_sorted, f_sorted
+
+
+def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
+                   maxiter=2000):
+    """Minimize ``fun`` over a batch of simplexes.
+
+    Parameters
+    ----------
+    fun : callable (B, n) -> (B,) — batched objective
+    initial_simplex : (B, n+1, n)
+    fatol, xatol : scipy-compatible absolute tolerances
+    maxiter : iteration cap
+
+    Returns
+    -------
+    dict with x (B, n), fun (B,), converged (B,), nit, final_simplex
+    """
+    simplex = jnp.asarray(initial_simplex)
+    b, np1, n = simplex.shape
+    assert np1 == n + 1
+
+    fvals = fun(simplex.reshape(b * np1, n)).reshape(b, np1)
+    simplex, fvals = _sorted_simplex(simplex, fvals)
+
+    alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+
+    def converged_mask(simplex, fvals):
+        fspread = jnp.max(jnp.abs(fvals[:, 1:] - fvals[:, :1]), axis=1)
+        xspread = jnp.max(jnp.abs(simplex[:, 1:, :] - simplex[:, :1, :]),
+                          axis=(1, 2))
+        return (fspread <= fatol) & (xspread <= xatol)
+
+    def body(state):
+        simplex, fvals, it, done = state
+        centroid = jnp.mean(simplex[:, :-1, :], axis=1)          # (B, n)
+        worst = simplex[:, -1, :]
+        xr = centroid + alpha * (centroid - worst)
+        fr = fun(xr)
+
+        f_best = fvals[:, 0]
+        f_second = fvals[:, -2]
+        f_worst = fvals[:, -1]
+
+        expand = fr < f_best
+        # contraction branch: outside if f_second <= fr < f_worst,
+        # inside if fr >= f_worst
+        contract_out = (fr >= f_second) & (fr < f_worst)
+        contract_in = fr >= f_worst
+        xe = centroid + gamma * (xr - centroid)
+        xc_out = centroid + rho * (xr - centroid)
+        xc_in = centroid - rho * (centroid - worst)
+        x2 = jnp.where(expand[:, None], xe,
+                       jnp.where(contract_in[:, None], xc_in, xc_out))
+        f2 = fun(x2)
+
+        # accept logic per scipy:
+        #  - fr < f_best: take min(fr, fe) point
+        #  - f_best <= fr < f_second: accept xr
+        #  - contract_out: accept xc if f2 <= fr else shrink
+        #  - contract_in: accept xc if f2 < f_worst else shrink
+        take_expansion = expand & (f2 < fr)
+        accept_r = (~expand & ~contract_out & ~contract_in) | \
+            (expand & ~take_expansion)
+        accept_2 = take_expansion | (contract_out & (f2 <= fr)) | \
+            (contract_in & (f2 < f_worst))
+        shrink = ~(accept_r | accept_2)
+
+        new_point = jnp.where(accept_2[:, None], x2, xr)
+        new_f = jnp.where(accept_2, f2, fr)
+        simplex_upd = simplex.at[:, -1, :].set(
+            jnp.where(shrink[:, None], simplex[:, -1, :], new_point))
+        fvals_upd = fvals.at[:, -1].set(
+            jnp.where(shrink, fvals[:, -1], new_f))
+
+        def do_shrink(args):
+            s, f = args
+            shrunk = s[:, :1, :] + sigma * (s - s[:, :1, :])
+            f_shr = fun(shrunk.reshape(b * np1, n)).reshape(b, np1)
+            s2 = jnp.where(shrink[:, None, None], shrunk, s)
+            f2_ = jnp.where(shrink[:, None], f_shr, f)
+            return s2, f2_
+
+        simplex_upd, fvals_upd = jax.lax.cond(
+            jnp.any(shrink & ~done), do_shrink, lambda a: a,
+            (simplex_upd, fvals_upd))
+
+        # freeze converged instances
+        simplex_new = jnp.where(done[:, None, None], simplex, simplex_upd)
+        fvals_new = jnp.where(done[:, None], fvals, fvals_upd)
+        simplex_new, fvals_new = _sorted_simplex(simplex_new, fvals_new)
+        done_new = done | converged_mask(simplex_new, fvals_new)
+        return simplex_new, fvals_new, it + 1, done_new
+
+    def cond(state):
+        _, _, it, done = state
+        return (it < maxiter) & ~jnp.all(done)
+
+    done0 = converged_mask(simplex, fvals)
+    simplex, fvals, nit, done = jax.lax.while_loop(
+        cond, body, (simplex, fvals, jnp.asarray(0), done0))
+    return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
+                nit=nit, final_simplex=simplex)
+
+
+def build_simplex(x0, scales, seed=20260816):
+    """Deterministic randomized starting simplex.
+
+    First vertex is the start point; the others perturb it with
+    per-dimension scales (role of the reference's seeded simplex,
+    vel_fit.py:272-312).  Batched: x0 (B, n), scales (n,) -> (B, n+1, n).
+    """
+    x0 = jnp.atleast_2d(x0)
+    b, n = x0.shape
+    key = jax.random.PRNGKey(seed)
+    noise = jax.random.normal(key, (1, n, n), dtype=x0.dtype)
+    verts = x0[:, None, :] + jnp.asarray(scales)[None, None, :] * noise
+    return jnp.concatenate([x0[:, None, :], verts], axis=1)
