@@ -24,6 +24,7 @@ is available for gradient-based fitting.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 SPEED_OF_LIGHT = 299792.458  # km/s
@@ -93,8 +94,25 @@ def rotation_kernel(vsini, log_step, half_width, eps=0.6, dtype=None):
 
 
 def convolve_kernel_same(spec, kernel):
-    """'same'-mode 1-D convolution with a static-length kernel."""
-    return jnp.convolve(spec, kernel, mode='same')
+    """'same'-mode 1-D convolution with a static-length kernel.
+
+    Implemented as a static shift-and-FMA stencil over the 2*hw+1
+    kernel taps rather than a conv primitive: per-trial kernels under
+    vmap turn lax convolutions into grouped convolutions that execute
+    pathologically (100x+) slowly, while the stencil is plain
+    vectorized FMA work on any backend.  Zero-padding semantics match
+    numpy's mode='same'.
+    """
+    (n,) = spec.shape
+    (klen,) = kernel.shape
+    hw = (klen - 1) // 2
+    padded = jnp.pad(spec, (hw, hw))
+    out = jnp.zeros_like(spec)
+    # out[i] = sum_j kernel[j] * spec[i + hw - j]
+    for j in range(klen):
+        out = out + kernel[j] * jax.lax.dynamic_slice_in_dim(
+            padded, 2 * hw - j, n)
+    return out
 
 
 def broaden(spec, vsini, log_step, half_width, eps=0.6):
