@@ -1,0 +1,377 @@
+"""Batched multi-object (fiber) fitting — the production TPU path.
+
+Where the reference farms independent per-fiber fits out to a process
+pool (reference: py/rvspecfit/desi/desi_fit.py:1215-1218), here a
+whole exposure of fibers is fitted *simultaneously* on one chip: the
+fiber axis is a vmapped batch axis of the fused likelihood, the
+Nelder-Mead instance axis, and (for scale-out) a `shard_map` data-
+parallel axis over the device mesh (see parallel/mesh.py).
+
+Requirements: all fibers share per-arm wavelength grids (true for
+survey coadds — e.g. DESI B/R/Z — where every fiber is resampled to a
+common grid).  Per-fiber data (flux, errors, optional per-fiber
+resolution matrices) are stacked along the leading axis.
+"""
+from __future__ import annotations
+
+import logging
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvspecfit_tpu.fit import neldermead as nm
+from rvspecfit_tpu.fit import vel_fit as vf
+from rvspecfit_tpu.fit.find_best import quadratic_interp_min
+from rvspecfit_tpu.fit.likelihood import (chisq_trials_core, _overlap_check,
+                                          SPEED_OF_LIGHT)
+from rvspecfit_tpu.fit.spec_data import ArmState
+from rvspecfit_tpu.ops import basis as basis_mod
+from rvspecfit_tpu.ops import vsini as vsini_mod
+from rvspecfit_tpu.ops.resolution import BandedMatrix
+
+
+class BatchArm:
+    """Stacked per-fiber data of one arm (host-side descriptor)."""
+
+    def __init__(self, name, lam, flux, ivar, badmask=None, resolution=None,
+                 setup=None):
+        """
+        lam : (npix,) shared wavelength grid
+        flux, ivar : (B, npix) per-fiber flux and inverse variance
+        badmask : (B, npix) bool, optional
+        resolution : (B, noff, npix) per-fiber band data, optional
+        """
+        self.name = str(name)
+        self.setup = setup or self.name
+        self.lam = np.asarray(lam, dtype=np.float64)
+        self.flux = np.asarray(flux, dtype=np.float64)
+        self.ivar = np.asarray(ivar, dtype=np.float64)
+        self.badmask = (np.zeros(self.flux.shape, dtype=bool)
+                        if badmask is None else np.asarray(badmask, bool))
+        self.resolution = resolution
+        if self.flux.ndim != 2 or self.flux.shape[1] != len(self.lam):
+            raise ValueError('flux must be (nfibers, npix)')
+
+    @property
+    def nfibers(self):
+        return self.flux.shape[0]
+
+    def espec(self):
+        """Error vector; masked/invalid pixels get huge errors
+        (so they carry no likelihood weight)."""
+        bad = (~np.isfinite(self.ivar)) | (self.ivar <= 0) | self.badmask \
+            | ~np.isfinite(self.flux)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            esp = 1.0 / np.sqrt(np.where(bad, 1.0, self.ivar))
+        med = np.median(np.where(bad, np.nan, esp), axis=1)
+        med = np.where(np.isfinite(med) & (med > 0), med, 1.0)
+        esp = np.where(bad, 1e9 * med[:, None], esp)
+        return esp
+
+
+class BatchedFitter:
+    """Fit a batch of fibers sharing arm wavelength grids."""
+
+    def __init__(self, arms, templates, config, options=None,
+                 use_vsini=False, dtype=None, solve_dtype=None):
+        options = options or {}
+        self.npoly = options.get('npoly') or 5
+        self.rbf = options.get('rbf_continuum', True)
+        self.config = config
+        self.use_vsini = bool(use_vsini)
+        self.solve_dtype = solve_dtype
+        self.batch_arms = list(arms)
+        self.nfibers = arms[0].nfibers
+        if dtype is None:
+            dtype = jnp.zeros(0).dtype
+        self.dtype = dtype
+
+        self.templates = {}
+        for a in arms:
+            if a.setup not in templates:
+                raise KeyError(f'no template model for setup {a.setup!r}')
+            self.templates[a.setup] = templates[a.setup]
+            _overlap_check(templates[a.setup].lam, a.lam,
+                           config['min_vel'], config['max_vel'])
+
+        # stacked ArmStates: leading fiber axis on dvec/espec_inv/
+        # log_espec_sum/band, shared lam/polys
+        self.arms = []
+        self.arm_axes = []
+        to = lambda x: jnp.asarray(x, dtype=dtype)
+        for a in arms:
+            esp = a.espec()
+            flux = np.where(np.isfinite(a.flux), a.flux, 0.0)
+            polys = basis_mod.continuum_basis(a.lam, self.npoly,
+                                              rbf=self.rbf)
+            band = None
+            band_ax = None
+            if a.resolution is not None:
+                res = np.asarray(a.resolution)
+                noff = res.shape[1]
+                w = noff // 2
+                offsets = tuple(int(w - k) for k in range(noff))
+                band = BandedMatrix(offsets, to(res))
+                band_ax = BandedMatrix(offsets, 0)
+            self.arms.append(ArmState(
+                lam=to(a.lam), dvec=to(flux / esp), espec_inv=to(1.0 / esp),
+                polys=to(polys), log_espec_sum=to(np.log(esp).sum(axis=1)),
+                band=band, name=a.name, setup=a.setup))
+            self.arm_axes.append(ArmState(
+                lam=None, dvec=0, espec_inv=0, polys=None, log_espec_sum=0,
+                band=band_ax, name=a.name, setup=a.setup))
+
+        self.badchi = float(10 * sum(len(a.lam) for a in arms))
+        self._half_widths = {}
+        if self.use_vsini:
+            for s, tm in self.templates.items():
+                self._half_widths[s] = vsini_mod.kernel_half_width(
+                    float(config['max_vsini']), tm.log_step)
+
+        def chisq_one_fiber(arms_slice, vels, params, vsinis):
+            return chisq_trials_core(
+                arms_slice, self.templates, vels, params, vsinis,
+                badchi=self.badchi, use_vsini=self.use_vsini,
+                half_widths=self._half_widths, outside_penalty=True,
+                solve_dtype=self.solve_dtype)
+
+        # vmap over the fiber axis: per-fiber arm data, per-fiber trials
+        self._chisq_fibers = jax.jit(jax.vmap(
+            chisq_one_fiber, in_axes=(self.arm_axes, 0, 0, 0)))
+
+    # -------------------------------------------------------------
+    def chisq(self, vels, params, vsinis=None):
+        """(B, T) velocities x (B, T, ndim) params -> (B, T) chi2."""
+        vels = jnp.asarray(vels, dtype=self.dtype)
+        params = jnp.asarray(params, dtype=self.dtype)
+        if vsinis is None:
+            vsinis = jnp.zeros(vels.shape, dtype=self.dtype)
+        else:
+            vsinis = jnp.asarray(vsinis, dtype=self.dtype)
+        return self._chisq_fibers(self.arms, vels, params, vsinis)
+
+    def scan_velocities(self, vel_grid, params0, vsini0=None):
+        """Initial velocity scan: shared grid, per-fiber parameters.
+
+        vel_grid : (V,); params0 : (B, ndim); vsini0 : (B,) or None.
+        Returns dict with (B,) best_vel/vel_err/best_chi and (B, V)
+        chisq array.
+        """
+        b = self.nfibers
+        v = len(vel_grid)
+        vels = jnp.broadcast_to(jnp.asarray(vel_grid, self.dtype), (b, v))
+        params = jnp.broadcast_to(
+            jnp.asarray(params0, self.dtype)[:, None, :],
+            (b, v, np.shape(params0)[-1]))
+        vsinis = None
+        if vsini0 is not None:
+            vsinis = jnp.broadcast_to(
+                jnp.asarray(vsini0, self.dtype)[:, None], (b, v))
+        chis = np.asarray(self.chisq(vels, params, vsinis))
+        return self._scan_stats(np.asarray(vel_grid, np.float64)[None, :]
+                                * np.ones((b, 1)), chis)
+
+    @staticmethod
+    def _scan_stats(vel_grids, chis, masks=None):
+        """Per-fiber minimum + moments from (B, V) scans."""
+        b, v = chis.shape
+        out = dict(best_vel=np.zeros(b), vel_err=np.zeros(b),
+                   best_chi=np.zeros(b), skewness=np.zeros(b),
+                   kurtosis=np.zeros(b))
+        for i in range(b):
+            vels = vel_grids[i]
+            chi = chis[i]
+            if masks is not None:
+                sel = masks[i]
+                vels, chi = vels[sel], chi[sel]
+            i1 = int(np.argmin(chi))
+            bv = quadratic_interp_min(vels, chi, i1)
+            dchi = chi - chi[i1]
+            probs = np.exp(-0.5 * np.clip(dchi, 0, 1400))
+            probs /= probs.sum()
+            err = float(np.sqrt((probs * (vels - bv)**2).sum()))
+            out['best_vel'][i] = bv
+            out['vel_err'][i] = err
+            out['best_chi'][i] = float(chi[i1])
+            if err > 1e-10:
+                out['kurtosis'][i] = float(
+                    (probs * (vels - bv)**4).sum() / err**4)
+                out['skewness'][i] = float(
+                    (probs * (vels - bv)**3).sum() / err**3)
+        return out
+
+    # -------------------------------------------------------------
+    def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
+                       fatol=1e-3, xatol=1e-2, maxiter=10000):
+        """Batched NM over fibers.
+
+        mapper : vel_fit.ParamMapper built with per-fiber-shared
+            paramDict0 (same starting atmospheric parameters for all
+            fibers), or per-fiber start vectors via best_vel0 (B,).
+        Returns dict with x (B, nvec), fun, converged.
+        """
+        objective = self._make_objective(mapper, priors)
+        x0 = np.tile(mapper.start_vector(0.0), (self.nfibers, 1))
+        x0[:, 0] = np.asarray(best_vel0)
+        simplex = nm.build_simplex(jnp.asarray(x0, self.dtype),
+                                   mapper.scales().astype(np.float64),
+                                   seed=vf.SIMPLEX_SEED)
+        success = np.ones(self.nfibers, bool)
+        for it in range(maxrestart):
+            res = nm.minimize_batch(objective, simplex, fatol=fatol,
+                                    xatol=xatol, maxiter=maxiter)
+            conv = np.asarray(res['converged'])
+            if conv.all() or it == maxrestart - 1:
+                success = conv.copy()
+                break
+            simplex = res['final_simplex']
+        return dict(x=np.asarray(res['x']), fun=np.asarray(res['fun']),
+                    converged=success)
+
+    def _make_objective(self, mapper, priors=None):
+        min_vel = float(self.config['min_vel'])
+        max_vel = float(self.config['max_vel'])
+        prior_rows = []
+        if priors:
+            for i, pname in enumerate(mapper.specParams):
+                if pname in priors:
+                    mu, sig = priors[pname]
+                    prior_rows.append((i, float(mu), float(sig)))
+
+        def objective(x):
+            # x: (B, K, nvec) -> (B, K)
+            b, k, nvec = x.shape
+            vel, params, vsini, penalty = mapper.unpack(
+                x.reshape(b * k, nvec))
+            vel = vel.reshape(b, k)
+            params = params.reshape(b, k, -1)
+            vsini = vsini.reshape(b, k)
+            penalty = penalty.reshape(b, k)
+            chis = self._chisq_fibers(self.arms, vel, params, vsini)
+            for i, mu, sig in prior_rows:
+                chis = chis + ((params[:, :, i] - mu) / sig)**2
+            chis = chis + penalty
+            bad = ((vel > max_vel) | (vel < min_vel)
+                   | ~jnp.isfinite(params).all(axis=-1))
+            return jnp.where(bad, 1e30, chis)
+
+        return objective
+
+    # -------------------------------------------------------------
+    def refine_velocities(self, best_vel, params, vsinis=None, nvel=160):
+        """Batched iterative velocity refinement (all fibers step the
+        refinement loop together; converged fibers freeze).
+
+        Control logic per fiber mirrors the reference _minimum_sampler
+        (py/rvspecfit/vel_fit.py:358-439) with fixed-size grids.
+        """
+        cfg = self.config
+        b = self.nfibers
+        crit_ratio, goal_width = 5.0, 10.0
+        min_vel0, max_vel0 = float(cfg['min_vel']), float(cfg['max_vel'])
+        min_vel_step = float(cfg['min_vel_step'])
+        vel_step0 = float(cfg['vel_step0'])
+
+        best_vel = np.clip(np.asarray(best_vel, np.float64), min_vel0,
+                           max_vel0)
+        params = np.asarray(params, np.float64)
+        lo = np.full(b, min_vel0)
+        hi = np.full(b, max_vel0)
+        step = np.full(b, vel_step0)
+        done = np.zeros(b, bool)
+        result = {k: np.zeros(b) for k in
+                  ('best_vel', 'vel_err', 'best_chi', 'skewness',
+                   'kurtosis')}
+
+        # first pass uses the full-range grid; subsequent passes a
+        # fixed nvel-point window
+        first = True
+        for _ in range(10):
+            if done.all():
+                break
+            if first:
+                nv = max(int(math.ceil((max_vel0 - min_vel0) / vel_step0)),
+                         nvel)
+                first = False
+            else:
+                nv = nvel
+            grids = np.zeros((b, nv))
+            masks = np.zeros((b, nv), bool)
+            for i in range(b):
+                g0 = math.ceil((lo[i] - best_vel[i]) / step[i]) * step[i]
+                g = g0 + np.arange(nv) * step[i] + best_vel[i]
+                m = g < hi[i]
+                if not m.any():
+                    m[0] = True
+                grids[i] = np.where(m, g, g[np.argmax(m)])
+                masks[i] = m
+            vsin = None if vsinis is None else \
+                np.repeat(np.asarray(vsinis)[:, None], nv, axis=1)
+            chis = np.asarray(self.chisq(
+                jnp.asarray(grids, self.dtype),
+                jnp.asarray(np.repeat(params[:, None, :], nv, axis=1),
+                            self.dtype),
+                None if vsin is None else jnp.asarray(vsin, self.dtype)))
+            stats = self._scan_stats(grids, chis, masks)
+            for k in result:
+                result[k] = np.where(done, result[k], stats[k])
+            newly = np.zeros(b, bool)
+            for i in range(b):
+                if done[i]:
+                    continue
+                best_vel[i] = stats['best_vel'][i]
+                err = stats['vel_err'][i]
+                if step[i] < err / crit_ratio or step[i] < min_vel_step:
+                    newly[i] = True
+                    continue
+                if step[i] > err:
+                    new_step = step[i] / crit_ratio
+                    width = step[i] * goal_width
+                else:
+                    new_step = err / crit_ratio * 0.8
+                    width = err * goal_width
+                lo[i] = max(best_vel[i] - width, min_vel0)
+                hi[i] = min(best_vel[i] + width, max_vel0)
+                step[i] = new_step
+            done |= newly
+        return result
+
+    # -------------------------------------------------------------
+    def hessian_errors(self, best_vel, params, vsinis=None, priors=None,
+                       parnames=None):
+        """Batched exact AD Hessians -> per-fiber parameter errors."""
+        b, ndim = np.shape(params)
+        prior_rows = []
+        if priors and parnames:
+            for i, pname in enumerate(parnames):
+                if pname in priors:
+                    mu, sig = priors[pname]
+                    prior_rows.append((i, float(mu), float(sig)))
+
+        def half_chisq(arms_slice, vel, param, vsini):
+            chi = chisq_trials_core(
+                arms_slice, self.templates, vel[None], param[None, :],
+                vsini[None], badchi=self.badchi, use_vsini=self.use_vsini,
+                half_widths=self._half_widths, outside_penalty=True,
+                solve_dtype=self.solve_dtype)[0]
+            for i, mu, sig in prior_rows:
+                chi = chi + ((param[i] - mu) / sig)**2
+            return 0.5 * chi
+
+        hess_fn = jax.jit(jax.vmap(
+            jax.hessian(half_chisq, argnums=2),
+            in_axes=(self.arm_axes, 0, 0, 0)))
+        vs = jnp.zeros(b, self.dtype) if vsinis is None else \
+            jnp.asarray(vsinis, self.dtype)
+        hessians = np.asarray(hess_fn(
+            self.arms, jnp.asarray(best_vel, self.dtype),
+            jnp.asarray(params, self.dtype), vs), np.float64)
+        errs = np.zeros((b, ndim))
+        covars = np.zeros((b, ndim, ndim))
+        bad = np.zeros(b, bool)
+        for i in range(b):
+            errs[i], covars[i], bad[i] = vf._uncertainties_from_hessian(
+                hessians[i])
+        return errs, covars, bad

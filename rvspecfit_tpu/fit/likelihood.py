@@ -59,6 +59,76 @@ def _overlap_check(templ_lam, arm_lam, min_vel, max_vel):
                 f'velocities {min_vel}..{max_vel}')
 
 
+def template_stage(tm: TemplateModel, params, vsinis, use_vsini,
+                   half_width):
+    """Evaluate + broaden + spline-construct templates for T trials.
+
+    Returns (coeffs (T,n-1,4), outside (T,), crap (T,), finite (T,)).
+    """
+    spec_t, outside = tm.eval_batch(params)           # (T, npixt)
+    finite_t = jnp.isfinite(spec_t).all(axis=-1)
+    maxabs = jnp.max(jnp.abs(jnp.where(jnp.isfinite(spec_t), spec_t, 0.0)),
+                     axis=-1)
+    # template garbage detection (reference spec_fit.py:392-397)
+    crap = (outside > 0) & (~finite_t | (maxabs > MAX_TEMPLATE_VALUE))
+    spec_safe = jnp.where(finite_t[:, None], spec_t, 1.0)
+    if use_vsini:
+        kern = jax.vmap(
+            lambda v: vsini_mod.rotation_kernel(
+                v, tm.log_step, half_width, dtype=spec_safe.dtype))(vsinis)
+        spec_safe = jax.vmap(vsini_mod.convolve_kernel_same)(spec_safe, kern)
+    coeffs = spline_mod.spline_coeffs(tm.geom, spec_safe)
+    return coeffs, outside, crap, finite_t
+
+
+def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
+                      use_vsini, half_widths, outside_penalty, solve_dtype):
+    """Pure batched -2logL over T trial points for one object.
+
+    arms : list of ArmState (leaves may carry extra batch axes when
+        vmapped by the multi-fiber path)
+    templates : dict setup -> TemplateModel
+    vels, vsinis : (T,); params : (T, ndim)
+    Remaining arguments are static.
+    """
+    vels = jnp.atleast_1d(vels)
+    beta = vels / SPEED_OF_LIGHT
+    dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))       # (T,)
+
+    stage = {s: template_stage(templates[s], params, vsinis, use_vsini,
+                               half_widths.get(s))
+             for s in templates}
+
+    total = jnp.zeros_like(vels)
+    for arm in arms:
+        coeffs, outside, crap, finite_t = stage[arm.setup]
+        q = arm.lam[None, :] * dop[:, None]           # (T, npix)
+        tm = templates[arm.setup]
+        val, _ = jax.vmap(
+            lambda c, x: spline_mod.spline_eval(tm.geom, c, x))(coeffs, q)
+        if arm.band is not None:
+            val = jax.vmap(arm.band.matvec)(val)
+        t_over_e = val * arm.espec_inv[None, :] if arm.espec_inv.ndim == 1 \
+            else val * arm.espec_inv
+        chi = jax.vmap(
+            lambda t: chisq_mod.chisq_continuum_marg(
+                arm.dvec, t, arm.polys, arm.log_espec_sum,
+                solve_dtype=solve_dtype))(t_over_e)
+
+        penalty = outside * badchi if outside_penalty else 0.0
+        good = jnp.isfinite(chi)
+        # salvage: non-finite chi2 for a finite template outside the
+        # grid contributes penalty only (spec_fit.py:963-969);
+        # non-finite inside the grid -> inf
+        inf = jnp.asarray(jnp.inf, dtype=vels.dtype)
+        contrib = jnp.where(
+            crap, 1000.0 * badchi,
+            jnp.where(good, chi + penalty,
+                      jnp.where((outside > 0) & finite_t, penalty, inf)))
+        total = total + contrib
+    return total
+
+
 class FusedChisq:
     """Compiled batched likelihood for a fixed set of datasets.
 
@@ -130,60 +200,17 @@ class FusedChisq:
 
     def _template_stage(self, setup, params, vsinis):
         """(T,ndim),(T,) -> spline coeffs (T,n-1,4), outside, crap, finite."""
-        tm = self.templates[setup]
-        spec_t, outside = tm.eval_batch(params)           # (T, npixt)
-        finite_t = jnp.isfinite(spec_t).all(axis=-1)
-        maxabs = jnp.max(jnp.abs(jnp.where(jnp.isfinite(spec_t), spec_t,
-                                           0.0)), axis=-1)
-        # template garbage detection (reference spec_fit.py:392-397)
-        crap = (outside > 0) & (~finite_t | (maxabs > MAX_TEMPLATE_VALUE))
-        spec_safe = jnp.where(finite_t[:, None], spec_t, 1.0)
-        if self.use_vsini:
-            hw = self._half_widths[setup]
-            kern = jax.vmap(
-                lambda v: vsini_mod.rotation_kernel(
-                    v, tm.log_step, hw, dtype=spec_safe.dtype))(vsinis)
-            spec_safe = jax.vmap(vsini_mod.convolve_kernel_same)(
-                spec_safe, kern)
-        coeffs = spline_mod.spline_coeffs(tm.geom, spec_safe)
-        return coeffs, outside, crap, finite_t
+        return template_stage(self.templates[setup], params, vsinis,
+                              self.use_vsini, self._half_widths.get(setup))
 
     def _chisq_trials(self, vels, params, vsinis):
         """(T,),(T,ndim),(T,) -> (T,) total -2logL."""
-        vels = jnp.atleast_1d(vels)
-        beta = vels / SPEED_OF_LIGHT
-        dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))       # (T,)
-
-        stage = {s: self._template_stage(s, params, vsinis)
-                 for s in self.templates}
-
-        total = jnp.zeros_like(vels)
-        for arm in self.arms:
-            coeffs, outside, crap, finite_t = stage[arm.setup]
-            q = arm.lam[None, :] * dop[:, None]           # (T, npix)
-            tm = self.templates[arm.setup]
-            val, _ = jax.vmap(
-                lambda c, x: spline_mod.spline_eval(tm.geom, c, x))(coeffs, q)
-            if arm.band is not None:
-                val = jax.vmap(arm.band.matvec)(val)
-            t_over_e = val * arm.espec_inv[None, :]
-            chi = jax.vmap(
-                lambda t: chisq_mod.chisq_continuum_marg(
-                    arm.dvec, t, arm.polys, arm.log_espec_sum,
-                    solve_dtype=self.solve_dtype))(t_over_e)
-
-            penalty = outside * self.badchi if self.outside_penalty else 0.0
-            good = jnp.isfinite(chi)
-            # salvage: non-finite chi2 for a finite template outside
-            # the grid contributes penalty only (spec_fit.py:963-969);
-            # non-finite inside the grid -> inf
-            inf = jnp.asarray(jnp.inf, dtype=vels.dtype)
-            contrib = jnp.where(
-                crap, 1000.0 * self.badchi,
-                jnp.where(good, chi + penalty,
-                          jnp.where((outside > 0) & finite_t, penalty, inf)))
-            total = total + contrib
-        return total
+        return chisq_trials_core(
+            self.arms, self.templates, vels, params, vsinis,
+            badchi=self.badchi, use_vsini=self.use_vsini,
+            half_widths=self._half_widths,
+            outside_penalty=self.outside_penalty,
+            solve_dtype=self.solve_dtype)
 
     # ---------------- public API ----------------
 

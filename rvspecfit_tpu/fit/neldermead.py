@@ -39,7 +39,10 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
 
     Parameters
     ----------
-    fun : callable (B, n) -> (B,) — batched objective
+    fun : callable (B, K, n) -> (B, K) — batched objective.  The
+        leading axis is the *instance* axis (each instance may carry
+        its own data, e.g. one fiber per instance); K is the number of
+        candidate points evaluated per instance in one call.
     initial_simplex : (B, n+1, n)
     fatol, xatol : scipy-compatible absolute tolerances
     maxiter : iteration cap
@@ -52,7 +55,7 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     b, np1, n = simplex.shape
     assert np1 == n + 1
 
-    fvals = fun(simplex.reshape(b * np1, n)).reshape(b, np1)
+    fvals = fun(simplex)
     simplex, fvals = _sorted_simplex(simplex, fvals)
 
     alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
@@ -68,7 +71,7 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
         centroid = jnp.mean(simplex[:, :-1, :], axis=1)          # (B, n)
         worst = simplex[:, -1, :]
         xr = centroid + alpha * (centroid - worst)
-        fr = fun(xr)
+        fr = fun(xr[:, None, :])[:, 0]
 
         f_best = fvals[:, 0]
         f_second = fvals[:, -2]
@@ -84,7 +87,7 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
         xc_in = centroid - rho * (centroid - worst)
         x2 = jnp.where(expand[:, None], xe,
                        jnp.where(contract_in[:, None], xc_in, xc_out))
-        f2 = fun(x2)
+        f2 = fun(x2[:, None, :])[:, 0]
 
         # accept logic per scipy:
         #  - fr < f_best: take min(fr, fe) point
@@ -108,7 +111,7 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
         def do_shrink(args):
             s, f = args
             shrunk = s[:, :1, :] + sigma * (s - s[:, :1, :])
-            f_shr = fun(shrunk.reshape(b * np1, n)).reshape(b, np1)
+            f_shr = fun(shrunk)
             s2 = jnp.where(shrink[:, None, None], shrunk, s)
             f2_ = jnp.where(shrink[:, None], f_shr, f)
             return s2, f2_

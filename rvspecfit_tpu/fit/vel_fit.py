@@ -297,13 +297,20 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
     mapper = ParamMapper(specParamNames, paramDict0, fixParam, vsiniMapper,
                          fitVsini)
     objective = jax.jit(_make_objective(fused, mapper, config, priors))
+    nvec = mapper.nvec
+
+    def nm_objective(x):
+        # NM contract: (B, K, n) -> (B, K); data is shared here so all
+        # rows are equivalent trial points
+        return objective(x.reshape(-1, nvec)).reshape(x.shape[:2])
+
     x0 = mapper.start_vector(best_vel)
     simplex = nm.build_simplex(jnp.asarray(x0[None]), mapper.scales(),
                                seed=SIMPLEX_SEED)
     minimize_success = True
     maxiter = 2
     for curiter in range(1, maxiter + 1):
-        nmres = nm.minimize_batch(objective, simplex, fatol=1e-3,
+        nmres = nm.minimize_batch(nm_objective, simplex, fatol=1e-3,
                                   xatol=1e-2, maxiter=10000)
         xbest = np.asarray(nmres['x'])[0]
         if bool(nmres['converged'][0]):

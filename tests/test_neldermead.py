@@ -15,8 +15,8 @@ def test_rosenbrock_batch_matches_scipy():
         return (100.0 * (x[1:] - x[:-1]**2)**2 + (1 - x[:-1])**2).sum()
 
     def rosen(x):
-        return jnp.sum(100.0 * (x[:, 1:] - x[:, :-1]**2)**2
-                       + (1 - x[:, :-1])**2, axis=1)
+        return jnp.sum(100.0 * (x[..., 1:] - x[..., :-1]**2)**2
+                       + (1 - x[..., :-1])**2, axis=-1)
 
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.uniform(-2, 2, size=(16, 4)))
@@ -44,8 +44,8 @@ def test_matches_scipy_on_quadratic():
         return ((x - a)**2).sum() + 0.3 * x[0] * x[1]
 
     def f_jax(x):
-        return jnp.sum((x - jnp.asarray(a))**2, axis=1) \
-            + 0.3 * x[:, 0] * x[:, 1]
+        return jnp.sum((x - jnp.asarray(a))**2, axis=-1) \
+            + 0.3 * x[..., 0] * x[..., 1]
 
     x0 = np.array([0.0, 0.0, 0.0])
     simplex0 = np.asarray(nm.build_simplex(jnp.asarray(x0[None]),
@@ -65,10 +65,11 @@ def test_frozen_instances_do_not_move():
     # one easy and one hard problem: the easy one converges first and
     # must stay put while the hard one keeps iterating
     def f(x):
-        easy = jnp.sum(x**2, axis=1)
-        hard = jnp.sum(100.0 * (x[:, 1:] - x[:, :-1]**2)**2
-                       + (1 - x[:, :-1])**2, axis=1)
-        return jnp.where(jnp.arange(x.shape[0]) == 0, easy, hard)
+        easy = jnp.sum(x**2, axis=-1)
+        hard = jnp.sum(100.0 * (x[..., 1:] - x[..., :-1]**2)**2
+                       + (1 - x[..., :-1])**2, axis=-1)
+        sel = jnp.arange(x.shape[0])[:, None] == 0
+        return jnp.where(sel, easy, hard)
 
     x0 = jnp.asarray([[0.01, 0.01], [-1.5, 2.0]])
     simplex = nm.build_simplex(x0, np.full(2, 0.2))
