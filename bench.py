@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark: 500-fiber, 3-arm exposure end-to-end on one chip.
+
+Synthesizes a DESI-like exposure (3 arms, common per-arm wavelength
+grids, 500 fibers of random stars with injected RVs), then runs the
+full fitting pipeline on the default JAX backend (the real TPU when
+available):
+
+    velocity grid scan -> batched Nelder-Mead over all fibers ->
+    iterative velocity refinement -> AD Hessian parameter errors
+
+and reports steady-state throughput in fibers/second (one warm-up
+pass first so compilation is excluded — compile times are printed to
+stderr).
+
+Baseline: the reference quotes 10-100 spectra/minute/core on CPU
+(reference docs/rvs_desi_fit.rst:354); vs_baseline is computed
+against the optimistic end of that range (100/min = 1.67/s).
+
+Prints exactly ONE JSON line on stdout.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+NFIBERS = 500
+NPIX_ARM = 1024
+BASELINE_FIBERS_PER_SEC = 100.0 / 60.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+    log(f'backend: {jax.default_backend()} devices: {jax.devices()}')
+
+    from rvspecfit_tpu import simulation
+    from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
+    from rvspecfit_tpu.fit import vel_fit
+    from rvspecfit_tpu.utils import freeze
+
+    config = freeze(dict(min_vel=-1000, max_vel=1000, vel_step0=5,
+                         max_vsini=500, min_vsini=1e-2, min_vel_step=0.2,
+                         second_minimizer=False, template_lib=''))
+
+    t0 = time.time()
+    tm = simulation.build_template_model(6, 6, 6, 4, npix=4096,
+                                         lam0=4550.0, lam1=5450.0)
+    arms_data, truth = simulation.make_exposure(NFIBERS,
+                                                npix_arm=NPIX_ARM,
+                                                snr=50.0, seed=7)
+    arms = [BatchArm(n, lam, fl, iv)
+            for n, (lam, fl, iv) in arms_data.items()]
+    templates = {n: tm for n in arms_data}
+    log(f'setup (templates + exposure): {time.time() - t0:.1f} s')
+
+    start_params = np.tile([6000.0, 3.0, -1.0, 0.5], (NFIBERS, 1))
+    vel_grid = np.arange(-1000.0, 1000.0, 5.0)
+    mapper = vel_fit.ParamMapper(
+        tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
+        [], None, False)
+
+    def pipeline(bf):
+        scan = bf.scan_velocities(vel_grid, start_params)
+        nmres = bf.run_neldermead(mapper, scan['best_vel'])
+        vel_b, params_b, _, _ = mapper.unpack(jnp.asarray(nmres['x']))
+        params_b = np.asarray(params_b)
+        ref = bf.refine_velocities(np.asarray(vel_b), params_b)
+        errs, _, bad = bf.hessian_errors(ref['best_vel'], params_b,
+                                         parnames=tm.parnames)
+        return ref, params_b, errs
+
+    bf = BatchedFitter(arms, templates, config, options={'npoly': 10})
+    t0 = time.time()
+    pipeline(bf)
+    log(f'warm-up (incl. compile): {time.time() - t0:.1f} s')
+
+    t0 = time.time()
+    ref, params_b, errs = pipeline(bf)
+    elapsed = time.time() - t0
+    fps = NFIBERS / elapsed
+
+    dv = ref['best_vel'] - truth['vel']
+    ok = np.abs(dv) < np.maximum(10.0, 5 * ref['vel_err'])
+    log(f'steady-state: {elapsed:.2f} s for {NFIBERS} fibers '
+        f'({fps:.1f} fibers/s)')
+    log(f'RV recovery: {ok.sum()}/{NFIBERS} within max(10, 5 sigma); '
+        f'median |dv| = {np.median(np.abs(dv)):.3f} km/s; '
+        f'median sigma_v = {np.median(ref["vel_err"]):.3f} km/s')
+    log(f'total bench time: {time.time() - t_start:.1f} s')
+
+    print(json.dumps(dict(
+        metric='desi_like_3arm_fit_throughput',
+        value=round(fps, 3),
+        unit='fibers/sec/chip',
+        vs_baseline=round(fps / BASELINE_FIBERS_PER_SEC, 2))))
+
+
+if __name__ == '__main__':
+    main()

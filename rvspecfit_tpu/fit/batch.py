@@ -26,6 +26,7 @@ from rvspecfit_tpu.fit import vel_fit as vf
 from rvspecfit_tpu.fit.find_best import quadratic_interp_min
 from rvspecfit_tpu.fit.likelihood import (chisq_trials_core, _overlap_check,
                                           SPEED_OF_LIGHT)
+from rvspecfit_tpu.fit.likelihood import scan_core as likelihood_scan_core
 from rvspecfit_tpu.fit.spec_data import ArmState
 from rvspecfit_tpu.ops import basis as basis_mod
 from rvspecfit_tpu.ops import vsini as vsini_mod
@@ -141,6 +142,17 @@ class BatchedFitter:
         self._chisq_fibers = jax.jit(jax.vmap(
             chisq_one_fiber, in_axes=(self.arm_axes, 0, 0, 0)))
 
+        def scan_one_fiber(arms_slice, vels, param, vsini):
+            return likelihood_scan_core(
+                arms_slice, self.templates, vels, param, vsini,
+                badchi=self.badchi, use_vsini=self.use_vsini,
+                half_widths=self._half_widths, outside_penalty=True,
+                solve_dtype=self.solve_dtype)
+
+        # fast velocity-scan path: template stage once per fiber
+        self._scan_fibers = jax.jit(jax.vmap(
+            scan_one_fiber, in_axes=(self.arm_axes, 0, 0, 0)))
+
     # -------------------------------------------------------------
     def chisq(self, vels, params, vsinis=None):
         """(B, T) velocities x (B, T, ndim) params -> (B, T) chi2."""
@@ -152,26 +164,39 @@ class BatchedFitter:
             vsinis = jnp.asarray(vsinis, dtype=self.dtype)
         return self._chisq_fibers(self.arms, vels, params, vsinis)
 
+    def scan_chisq(self, vel_grids, params0, vsini0=None, vchunk=128):
+        """(B, V) per-fiber velocity grids x (B, ndim) params -> (B, V).
+
+        Uses the fast scan path (template stage once per fiber) and
+        chunks the velocity axis to bound device intermediates.
+        """
+        b = self.nfibers
+        vel_grids = np.asarray(vel_grids, np.float64)
+        v = vel_grids.shape[1]
+        params = jnp.asarray(params0, self.dtype)
+        vs = jnp.zeros(b, self.dtype) if vsini0 is None else \
+            jnp.asarray(vsini0, self.dtype)
+        outs = []
+        for i in range(0, v, vchunk):
+            cur = vel_grids[:, i:i + vchunk]
+            pad = vchunk - cur.shape[1]
+            if pad and i > 0:
+                cur = np.pad(cur, ((0, 0), (0, pad)), mode='edge')
+            outs.append(np.asarray(self._scan_fibers(
+                self.arms, jnp.asarray(cur, self.dtype), params,
+                vs))[:, :min(vchunk, v - i)])
+        return np.concatenate(outs, axis=1)
+
     def scan_velocities(self, vel_grid, params0, vsini0=None):
         """Initial velocity scan: shared grid, per-fiber parameters.
 
         vel_grid : (V,); params0 : (B, ndim); vsini0 : (B,) or None.
-        Returns dict with (B,) best_vel/vel_err/best_chi and (B, V)
-        chisq array.
+        Returns dict with (B,) best_vel/vel_err/best_chi.
         """
         b = self.nfibers
-        v = len(vel_grid)
-        vels = jnp.broadcast_to(jnp.asarray(vel_grid, self.dtype), (b, v))
-        params = jnp.broadcast_to(
-            jnp.asarray(params0, self.dtype)[:, None, :],
-            (b, v, np.shape(params0)[-1]))
-        vsinis = None
-        if vsini0 is not None:
-            vsinis = jnp.broadcast_to(
-                jnp.asarray(vsini0, self.dtype)[:, None], (b, v))
-        chis = np.asarray(self.chisq(vels, params, vsinis))
-        return self._scan_stats(np.asarray(vel_grid, np.float64)[None, :]
-                                * np.ones((b, 1)), chis)
+        grids = np.tile(np.asarray(vel_grid, np.float64), (b, 1))
+        chis = self.scan_chisq(grids, params0, vsini0)
+        return self._scan_stats(grids, chis)
 
     @staticmethod
     def _scan_stats(vel_grids, chis, masks=None):
@@ -307,13 +332,7 @@ class BatchedFitter:
                     m[0] = True
                 grids[i] = np.where(m, g, g[np.argmax(m)])
                 masks[i] = m
-            vsin = None if vsinis is None else \
-                np.repeat(np.asarray(vsinis)[:, None], nv, axis=1)
-            chis = np.asarray(self.chisq(
-                jnp.asarray(grids, self.dtype),
-                jnp.asarray(np.repeat(params[:, None, :], nv, axis=1),
-                            self.dtype),
-                None if vsin is None else jnp.asarray(vsin, self.dtype)))
+            chis = self.scan_chisq(grids, params, vsinis)
             stats = self._scan_stats(grids, chis, masks)
             for k in result:
                 result[k] = np.where(done, result[k], stats[k])

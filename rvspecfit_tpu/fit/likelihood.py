@@ -129,6 +129,51 @@ def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
     return total
 
 
+def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
+              half_widths, outside_penalty, solve_dtype):
+    """-2logL over a velocity grid at ONE parameter point.
+
+    The template stage (interpolation, broadening, spline
+    construction) runs once and is reused for every velocity — the
+    fast path for velocity grid scans, where the generic per-trial
+    path would redo it V times.
+    """
+    vels = jnp.atleast_1d(vels)
+    beta = vels / SPEED_OF_LIGHT
+    dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))       # (V,)
+
+    stage = {s: template_stage(templates[s], param[None, :], vsini[None],
+                               use_vsini, half_widths.get(s))
+             for s in templates}
+
+    total = jnp.zeros_like(vels)
+    for arm in arms:
+        coeffs, outside, crap, finite_t = stage[arm.setup]
+        coeffs, outside, crap, finite_t = (coeffs[0], outside[0], crap[0],
+                                           finite_t[0])
+        tm = templates[arm.setup]
+        q = arm.lam[None, :] * dop[:, None]           # (V, npix)
+        val, _ = jax.vmap(
+            lambda x: spline_mod.spline_eval(tm.geom, coeffs, x))(q)
+        if arm.band is not None:
+            val = jax.vmap(arm.band.matvec)(val)
+        t_over_e = val * arm.espec_inv[None, :]
+        chi = jax.vmap(
+            lambda t: chisq_mod.chisq_continuum_marg(
+                arm.dvec, t, arm.polys, arm.log_espec_sum,
+                solve_dtype=solve_dtype))(t_over_e)
+
+        penalty = outside * badchi if outside_penalty else 0.0
+        good = jnp.isfinite(chi)
+        inf = jnp.asarray(jnp.inf, dtype=vels.dtype)
+        contrib = jnp.where(
+            crap, 1000.0 * badchi,
+            jnp.where(good, chi + penalty,
+                      jnp.where((outside > 0) & finite_t, penalty, inf)))
+        total = total + contrib
+    return total
+
+
 class FusedChisq:
     """Compiled batched likelihood for a fixed set of datasets.
 
