@@ -36,7 +36,18 @@ def log(msg):
 
 def main():
     t_start = time.time()
+    import os
     import jax
+    # persistent compilation cache: remote-compile TPU backends pay
+    # tens of seconds per program; cache across bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    except Exception as exc:
+        log(f'compilation cache unavailable: {exc}')
     import jax.numpy as jnp
     log(f'backend: {jax.default_backend()} devices: {jax.devices()}')
 

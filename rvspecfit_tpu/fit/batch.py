@@ -98,33 +98,48 @@ class BatchedFitter:
                            config['min_vel'], config['max_vel'])
 
         # stacked ArmStates: leading fiber axis on dvec/espec_inv/
-        # log_espec_sum/band, shared lam/polys
-        self.arms = []
-        self.arm_axes = []
-        to = lambda x: jnp.asarray(x, dtype=dtype)
+        # log_espec_sum/band, shared lam/polys.  All host arrays are
+        # shipped in a single device_put — on remote-backend tunnels
+        # every transfer pays O(seconds) latency, so one batched
+        # transfer instead of ~6 per arm matters a lot.
+        host_arms = []
         for a in arms:
             esp = a.espec()
             flux = np.where(np.isfinite(a.flux), a.flux, 0.0)
             polys = basis_mod.continuum_basis(a.lam, self.npoly,
                                               rbf=self.rbf)
+            band_np = None
+            if a.resolution is not None:
+                band_np = np.asarray(a.resolution)
+            cast = lambda x: np.asarray(x, dtype=np.dtype(dtype))
+            host_arms.append(dict(
+                lam=cast(a.lam), dvec=cast(flux / esp),
+                espec_inv=cast(1.0 / esp), polys=cast(polys),
+                log_espec_sum=cast(np.log(esp).sum(axis=1)),
+                band=None if band_np is None else cast(band_np)))
+        dev_arms = jax.device_put(host_arms)
+
+        self.arms = []
+        self.arm_axes = []
+        for a, d in zip(arms, dev_arms):
             band = None
             band_ax = None
-            if a.resolution is not None:
-                res = np.asarray(a.resolution)
-                noff = res.shape[1]
+            if d['band'] is not None:
+                noff = d['band'].shape[1]
                 w = noff // 2
                 offsets = tuple(int(w - k) for k in range(noff))
-                band = BandedMatrix(offsets, to(res))
+                band = BandedMatrix(offsets, d['band'])
                 band_ax = BandedMatrix(offsets, 0)
             self.arms.append(ArmState(
-                lam=to(a.lam), dvec=to(flux / esp), espec_inv=to(1.0 / esp),
-                polys=to(polys), log_espec_sum=to(np.log(esp).sum(axis=1)),
+                lam=d['lam'], dvec=d['dvec'], espec_inv=d['espec_inv'],
+                polys=d['polys'], log_espec_sum=d['log_espec_sum'],
                 band=band, name=a.name, setup=a.setup))
             self.arm_axes.append(ArmState(
                 lam=None, dvec=0, espec_inv=0, polys=None, log_espec_sum=0,
                 band=band_ax, name=a.name, setup=a.setup))
 
         self.badchi = float(10 * sum(len(a.lam) for a in arms))
+        self._objective_cache = {}
         self._half_widths = {}
         if self.use_vsini:
             for s, tm in self.templates.items():
@@ -200,36 +215,51 @@ class BatchedFitter:
 
     @staticmethod
     def _scan_stats(vel_grids, chis, masks=None):
-        """Per-fiber minimum + moments from (B, V) scans."""
+        """Per-fiber minimum + posterior moments from (B, V) scans,
+        vectorized over fibers.  Velocity grids must be uniformly
+        spaced per fiber (they are arange-built); the quadratic
+        minimum refinement uses the uniform-grid parabola vertex with
+        the reference's fallbacks (grid edges, non-convex, vertex
+        escaping the bracket -> grid point)."""
         b, v = chis.shape
-        out = dict(best_vel=np.zeros(b), vel_err=np.zeros(b),
-                   best_chi=np.zeros(b), skewness=np.zeros(b),
-                   kurtosis=np.zeros(b))
-        for i in range(b):
-            vels = vel_grids[i]
-            chi = chis[i]
-            if masks is not None:
-                sel = masks[i]
-                vels, chi = vels[sel], chi[sel]
-            i1 = int(np.argmin(chi))
-            bv = quadratic_interp_min(vels, chi, i1)
-            dchi = chi - chi[i1]
-            probs = np.exp(-0.5 * np.clip(dchi, 0, 1400))
-            probs /= probs.sum()
-            err = float(np.sqrt((probs * (vels - bv)**2).sum()))
-            out['best_vel'][i] = bv
-            out['vel_err'][i] = err
-            out['best_chi'][i] = float(chi[i1])
-            if err > 1e-10:
-                out['kurtosis'][i] = float(
-                    (probs * (vels - bv)**4).sum() / err**4)
-                out['skewness'][i] = float(
-                    (probs * (vels - bv)**3).sum() / err**3)
-        return out
+        vel_grids = np.asarray(vel_grids, np.float64)
+        chis = np.asarray(chis, np.float64)
+        if masks is None:
+            masks = np.ones((b, v), bool)
+        chi_m = np.where(masks, chis, np.inf)
+        i1 = np.argmin(chi_m, axis=1)
+        rows = np.arange(b)
+        best_chi = chi_m[rows, i1]
+
+        step = vel_grids[:, 1] - vel_grids[:, 0]
+        ic = np.clip(i1, 1, v - 2)
+        y0 = chi_m[rows, ic - 1]
+        y1 = chi_m[rows, ic]
+        y2 = chi_m[rows, ic + 1]
+        denom = y0 - 2 * y1 + y2
+        with np.errstate(invalid='ignore', divide='ignore'):
+            offset = 0.5 * (y0 - y2) / denom
+        interior = (i1 >= 1) & (i1 <= v - 2) & np.isfinite(y0) \
+            & np.isfinite(y2)
+        good = interior & (denom > 0) & (np.abs(offset) < 1)
+        best_vel = np.where(good, vel_grids[rows, ic] + offset * step,
+                            vel_grids[rows, i1])
+
+        dchi = chi_m - best_chi[:, None]
+        probs = np.where(masks, np.exp(-0.5 * np.clip(dchi, 0, 1400)), 0.0)
+        probs /= probs.sum(axis=1)[:, None]
+        dv = vel_grids - best_vel[:, None]
+        err = np.sqrt((probs * dv**2).sum(axis=1))
+        safe = err > 1e-10
+        err_s = np.where(safe, err, 1.0)
+        skew = np.where(safe, (probs * dv**3).sum(axis=1) / err_s**3, 0.0)
+        kurt = np.where(safe, (probs * dv**4).sum(axis=1) / err_s**4, 0.0)
+        return dict(best_vel=best_vel, vel_err=err, best_chi=best_chi,
+                    skewness=skew, kurtosis=kurt)
 
     # -------------------------------------------------------------
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
-                       fatol=1e-3, xatol=1e-2, maxiter=10000):
+                       fatol=1e-3, xatol=1e-2, maxiter=2000):
         """Batched NM over fibers.
 
         mapper : vel_fit.ParamMapper built with per-fiber-shared
@@ -237,7 +267,12 @@ class BatchedFitter:
             fibers), or per-fiber start vectors via best_vel0 (B,).
         Returns dict with x (B, nvec), fun, converged.
         """
-        objective = self._make_objective(mapper, priors)
+        key = (id(mapper), None if priors is None else
+               tuple(sorted((k, tuple(v)) for k, v in priors.items())))
+        objective = self._objective_cache.get(key)
+        if objective is None:
+            objective = self._make_objective(mapper, priors)
+            self._objective_cache[key] = objective
         x0 = np.tile(mapper.start_vector(0.0), (self.nfibers, 1))
         x0[:, 0] = np.asarray(best_vel0)
         simplex = nm.build_simplex(jnp.asarray(x0, self.dtype),
@@ -369,19 +404,24 @@ class BatchedFitter:
                     mu, sig = priors[pname]
                     prior_rows.append((i, float(mu), float(sig)))
 
-        def half_chisq(arms_slice, vel, param, vsini):
-            chi = chisq_trials_core(
-                arms_slice, self.templates, vel[None], param[None, :],
-                vsini[None], badchi=self.badchi, use_vsini=self.use_vsini,
-                half_widths=self._half_widths, outside_penalty=True,
-                solve_dtype=self.solve_dtype)[0]
-            for i, mu, sig in prior_rows:
-                chi = chi + ((param[i] - mu) / sig)**2
-            return 0.5 * chi
+        hkey = ('hess', tuple(prior_rows))
+        hess_fn = self._objective_cache.get(hkey)
+        if hess_fn is None:
+            def half_chisq(arms_slice, vel, param, vsini):
+                chi = chisq_trials_core(
+                    arms_slice, self.templates, vel[None], param[None, :],
+                    vsini[None], badchi=self.badchi,
+                    use_vsini=self.use_vsini,
+                    half_widths=self._half_widths, outside_penalty=True,
+                    solve_dtype=self.solve_dtype)[0]
+                for i, mu, sig in prior_rows:
+                    chi = chi + ((param[i] - mu) / sig)**2
+                return 0.5 * chi
 
-        hess_fn = jax.jit(jax.vmap(
-            jax.hessian(half_chisq, argnums=2),
-            in_axes=(self.arm_axes, 0, 0, 0)))
+            hess_fn = jax.jit(jax.vmap(
+                jax.hessian(half_chisq, argnums=2),
+                in_axes=(self.arm_axes, 0, 0, 0)))
+            self._objective_cache[hkey] = hess_fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)
         hessians = np.asarray(hess_fn(

@@ -1,0 +1,205 @@
+"""FFT cross-correlation initial-guess fitter.
+
+Equivalent of the reference fitter_ccf
+(reference: py/rvspecfit/fitter_ccf.py:62-253), TPU-native: the whole
+template bank's FFTs live on the device and every template is
+correlated against the observed spectrum in ONE batched
+rfft-multiply-irfft program per arm (the reference loops over chunks
+of 256 templates in numpy).  Per-velocity chi-square:
+
+    continuum mode:     chi2(v) = -2 C0(v) + C1(v)
+    no-continuum mode:  chi2(v) = -C0(v)^2 / C1(v)
+
+with C0 = irfft(T_fft conj(F[spec * ivar])),
+     C1 = irfft(T2_fft conj(F[ivar])).
+Each arm's CCF is linearly interpolated onto a common velocity grid
+(precomputed gather weights) and summed across arms on device; only
+the argmin and the small best-row come back to the host.
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvspecfit_tpu import serializer
+from rvspecfit_tpu.fit.spec_data import SpecData
+from rvspecfit_tpu.pipeline import make_ccf
+
+C_KMS = 299792.458
+
+
+class CCFCache:
+    """Process-wide cache of loaded CCF template banks."""
+    data = {}
+
+
+def get_ccf_info(spec_setup, config):
+    """Load (cached) CCF artifacts for one setup
+    (reference: fitter_ccf.py:21-59)."""
+    lib = config['template_lib']
+    continuum = config.get('ccf_continuum_normalize')
+    if continuum is None:
+        continuum = True
+    key = (os.path.abspath(lib), spec_setup, continuum)
+    if key not in CCFCache.data:
+        info = serializer.load_dict_from_hdf5(os.path.join(
+            lib, make_ccf.get_ccf_info_name(spec_setup, continuum)))
+        dat = np.load(os.path.join(
+            lib, make_ccf.get_ccf_dat_name(spec_setup, continuum)),
+            mmap_mode='r')
+        mods = np.load(os.path.join(
+            lib, make_ccf.get_ccf_mod_name(spec_setup, continuum)),
+            mmap_mode='r')
+        # device-resident complex template bank (complex64 on f32
+        # backends, complex128 when x64 is enabled)
+        cdtype = jnp.zeros(0, jnp.complex128).dtype
+        fft_d = jnp.asarray(np.asarray(dat['fft']), dtype=cdtype)
+        fft2_d = jnp.asarray(np.asarray(dat['fft2']), dtype=cdtype)
+        CCFCache.data[key] = dict(info=info, fft=fft_d, fft2=fft2_d,
+                                  models=mods)
+    e = CCFCache.data[key]
+    return e['fft'], e['fft2'], e['models'], e['info']
+
+
+@jax.jit
+def _ccf_chisq_continuum(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
+    c0 = jnp.fft.irfft(tfft * sfft_conj[None, :], axis=1)
+    c1 = jnp.fft.irfft(t2fft * ivfft_conj[None, :], axis=1)
+    chi = -2.0 * c0 + c1
+    return chi[:, idx[0]] * w[0][None, :] + chi[:, idx[1]] * w[1][None, :]
+
+
+@jax.jit
+def _ccf_chisq_nocont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
+    c0 = jnp.fft.irfft(tfft * sfft_conj[None, :], axis=1)
+    c1 = jnp.fft.irfft(t2fft * ivfft_conj[None, :], axis=1)
+    chi = -(c0 * c0) / c1
+    return chi[:, idx[0]] * w[0][None, :] + chi[:, idx[1]] * w[1][None, :]
+
+
+def _vel_axis(ccfconf, npoints_spec, maxvel):
+    """Velocity bookkeeping of the circular CCF
+    (reference: fitter_ccf.py:132-154): returns (indices into the
+    irfft axis ordered from negative to positive velocity, their
+    velocities, the velocity step)."""
+    logl0, logl1 = ccfconf['logl0'], ccfconf['logl1']
+    npoints = ccfconf['npoints']
+    step = (np.exp((logl1 - logl0) / npoints) - 1) * 3e5
+    off = npoints_spec // 2
+    vels = -((np.arange(npoints_spec) + off) % npoints_spec - off) * step
+    ind = np.abs(vels) < (maxvel + step)
+    if ind.sum() % 2 != 1:
+        raise RuntimeError('CCF velocity window must be odd')
+    ind = np.roll(np.nonzero(ind)[0], ind.sum() // 2)[::-1]
+    sub = vels[ind]
+    if not np.all(np.diff(sub) > 0):
+        raise RuntimeError('Invalid CCF velocity grid')
+    return ind, sub, step
+
+
+def fit(specdata, config):
+    """Cross-correlate the dataset against the template bank; returns
+    best template parameters / velocity / vsini / per-arm models
+    (reference keys: fitter_ccf.py:246-252)."""
+    maxvel = config.get('max_vel') or 1000
+    nvelgrid = 2 * int(maxvel / (config.get('vel_step0') or 2)) + 1
+    vel_grid = np.linspace(-maxvel, maxvel, nvelgrid)
+
+    if isinstance(specdata, SpecData):
+        specdata = [specdata]
+
+    setups = []
+    infos = {}
+    mods = {}
+    velstep = {}
+    proc_specs = {}
+    total_sse = 0.0
+    contributions = None
+    for sd in specdata:
+        setup = sd.name
+        setups.append(setup)
+        tfft, t2fft, ccf_mods, info = get_ccf_info(setup, config)
+        infos[setup] = info
+        mods[setup] = ccf_mods
+        ccfconf = info['ccfconf']
+
+        proc_spec, proc_ivar = make_ccf.preprocess_data(
+            sd.lam, sd.spec, sd.espec, badmask=sd.badmask,
+            ccfconf=ccfconf)
+        proc_specs[setup] = proc_spec
+        total_sse += float((proc_spec**2 * proc_ivar).sum())
+
+        sfft = np.fft.rfft(proc_spec * proc_ivar)
+        ivfft = np.fft.rfft(proc_ivar)
+        ind, sub_vels, step = _vel_axis(ccfconf, len(proc_spec), maxvel)
+        velstep[setup] = step
+
+        # linear interpolation of the per-arm CCF onto the common
+        # velocity grid as two gathers + weights (precomputed host)
+        pos = np.clip(np.searchsorted(sub_vels, vel_grid) - 1, 0,
+                      len(sub_vels) - 2)
+        wr = (vel_grid - sub_vels[pos]) / (sub_vels[pos + 1]
+                                           - sub_vels[pos])
+        wr = np.clip(wr, 0.0, 1.0)
+        idx = (jnp.asarray(ind[pos]), jnp.asarray(ind[pos + 1]))
+        w = (jnp.asarray(1 - wr), jnp.asarray(wr))
+
+        cdtype = tfft.dtype
+        fdtype = jnp.zeros(0, jnp.float64).dtype
+        fun = _ccf_chisq_continuum if ccfconf['continuum'] else \
+            _ccf_chisq_nocont
+        cur = fun(tfft, t2fft,
+                  jnp.asarray(sfft.conj(), cdtype),
+                  jnp.asarray(ivfft.conj(), cdtype), idx, w)
+        contributions = cur if contributions is None else \
+            contributions + cur
+
+    ref = infos[setups[0]]
+    for s in setups[1:]:
+        cur = infos[s]
+        if (list(ref['parnames']) != list(cur['parnames'])
+                or not np.array_equal(ref['params'], cur['params'])
+                or not np.array_equal(ref['vsinis'], cur['vsinis'])):
+            raise RuntimeError('CCF template parameters differ between '
+                               'setups')
+        if contributions.shape[0] != len(cur['params']):
+            raise RuntimeError('CCF template counts differ between setups')
+
+    all_chisqs = np.asarray(contributions) + total_sse
+    best_id = int(np.argmin(all_chisqs.min(axis=1)))
+    best_ccf = all_chisqs[best_id]
+    best_pix = int(np.argmin(best_ccf))
+    if best_pix not in (0, len(best_ccf) - 1):
+        x = vel_grid[best_pix - 1:best_pix + 2]
+        y = best_ccf[best_pix - 1:best_pix + 2]
+        a2 = (y[0] - 2 * y[1] + y[2])
+        if a2 > 0:
+            best_vel = float(x[1] + 0.5 * (y[0] - y[2]) / a2
+                             * (x[1] - x[0]))
+        else:
+            best_vel = float(vel_grid[best_pix])
+    else:
+        best_vel = float(vel_grid[best_pix])
+
+    if not np.isfinite(all_chisqs[best_id, best_pix]):
+        logging.error('Cross-correlation failed')
+        raise RuntimeError('Cross-correlation step failed')
+
+    best_model = {}
+    for s in setups:
+        best_model[s] = np.roll(np.asarray(mods[s][best_id]),
+                                int(best_vel / velstep[s]))
+    info0 = infos[setups[0]]
+    best_par = dict(zip([str(p) for p in info0['parnames']],
+                        np.asarray(info0['params'])[best_id]))
+    vsini = float(np.asarray(info0['vsinis'])[best_id])
+    if info0.get('vsini_is_none') is not None and \
+            bool(np.asarray(info0['vsini_is_none'])[best_id]):
+        vsini = None
+    return dict(best_par=best_par, best_vel=best_vel, best_ccf=best_ccf,
+                best_vsini=vsini, best_model=best_model,
+                proc_spec=proc_specs, vel_grid=vel_grid)

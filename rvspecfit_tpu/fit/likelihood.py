@@ -69,8 +69,12 @@ def template_stage(tm: TemplateModel, params, vsinis, use_vsini,
     finite_t = jnp.isfinite(spec_t).all(axis=-1)
     maxabs = jnp.max(jnp.abs(jnp.where(jnp.isfinite(spec_t), spec_t, 0.0)),
                      axis=-1)
-    # template garbage detection (reference spec_fit.py:392-397)
-    crap = (outside > 0) & (~finite_t | (maxabs > MAX_TEMPLATE_VALUE))
+    # template garbage detection (reference spec_fit.py:392-397);
+    # clamp the threshold into the working dtype's range (float32
+    # cannot represent 1e100)
+    max_val = min(MAX_TEMPLATE_VALUE,
+                  float(jnp.finfo(spec_t.dtype).max) / 4)
+    crap = (outside > 0) & (~finite_t | (maxabs > max_val))
     spec_safe = jnp.where(finite_t[:, None], spec_t, 1.0)
     if use_vsini:
         kern = jax.vmap(

@@ -26,6 +26,9 @@ import jax
 import jax.numpy as jnp
 
 
+_JIT_CACHE = {}
+
+
 def _sorted_simplex(simplex, fvals):
     order = jnp.argsort(fvals, axis=-1)                  # (B, n+1)
     f_sorted = jnp.take_along_axis(fvals, order, axis=-1)
@@ -34,8 +37,13 @@ def _sorted_simplex(simplex, fvals):
 
 
 def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
-                   maxiter=2000):
+                   maxiter=2000, jit=True):
     """Minimize ``fun`` over a batch of simplexes.
+
+    With ``jit=True`` (default) the entire optimization — including
+    the initial simplex evaluation and the while_loop — compiles to a
+    single XLA program, which matters on remote-compile backends
+    where every distinct dispatched program pays a large latency.
 
     Parameters
     ----------
@@ -55,6 +63,23 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     b, np1, n = simplex.shape
     assert np1 == n + 1
 
+    if jit:
+        key = (fun, fatol, xatol, maxiter)
+        core = _JIT_CACHE.get(key)
+        if core is None:
+            core = jax.jit(partial(_minimize_core, fun, fatol=fatol,
+                                   xatol=xatol, maxiter=maxiter))
+            _JIT_CACHE[key] = core
+    else:
+        core = partial(_minimize_core, fun, fatol=fatol, xatol=xatol,
+                       maxiter=maxiter)
+    simplex, fvals, nit, done = core(simplex)
+    return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
+                nit=nit, final_simplex=simplex)
+
+
+def _minimize_core(fun, simplex, fatol, xatol, maxiter):
+    b, np1, n = simplex.shape
     fvals = fun(simplex)
     simplex, fvals = _sorted_simplex(simplex, fvals)
 
@@ -132,10 +157,8 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
         return (it < maxiter) & ~jnp.all(done)
 
     done0 = converged_mask(simplex, fvals)
-    simplex, fvals, nit, done = jax.lax.while_loop(
+    return jax.lax.while_loop(
         cond, body, (simplex, fvals, jnp.asarray(0), done0))
-    return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
-                nit=nit, final_simplex=simplex)
 
 
 def build_simplex(x0, scales, seed=20260816):

@@ -1,0 +1,97 @@
+"""Template-library loading: on-disk artifacts -> TemplateModel.
+
+Equivalent of the reference interpolator registry
+(reference: py/rvspecfit/spec_inter.py:289-398): loads
+``interp_{setup}.h5`` (+ ``interpdat_{setup}.npy`` / NN checkpoint)
+from ``config['template_lib']`` and builds the device-resident
+TemplateModel, with a process-wide cache keyed by (template_lib,
+setup) that is invalidated when the library path changes.
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from rvspecfit_tpu import serializer
+from rvspecfit_tpu.interp.api import TemplateModel
+from rvspecfit_tpu.interp.grid import GridInterpState
+from rvspecfit_tpu.ops.spline import SplineGeometry
+from rvspecfit_tpu.pipeline.make_nd import (INTERPOL_H5_NAME,
+                                            INTERPOL_DAT_NAME)
+
+NN_STATE_NAME = 'nnstate_%s.h5'
+
+_cache = {}
+
+
+def clear_cache():
+    _cache.clear()
+
+
+def load_template_model(setup, config, dtype=None, cache=True):
+    """Load one setup's TemplateModel (cached)."""
+    lib = config['template_lib']
+    key = (os.path.abspath(lib), setup, dtype)
+    if cache and key in _cache:
+        return _cache[key]
+
+    fname = os.path.join(lib, INTERPOL_H5_NAME % setup)
+    fd = serializer.load_dict_from_hdf5(fname)
+    itype = fd.get('interpolation_type')
+    log_ids = tuple(int(x) for x in fd.get('log_ids', (0,)))
+    parnames = tuple(str(p) for p in fd['parnames'])
+    lam = np.asarray(fd['lam'], dtype=np.float64)
+    geom = SplineGeometry.from_knots(lam, log_step=bool(fd['log_step']),
+                                     dtype=dtype)
+    extra = dict(revision=str(fd.get('revision') or ''),
+                 creation_soft_version=str(fd.get('git_rev') or ''),
+                 filename=fname)
+
+    if itype == 'regulargrid':
+        dats = np.load(os.path.join(lib, INTERPOL_DAT_NAME % setup),
+                       mmap_mode='r')
+        uvdict = fd['uvecs']
+        uvecs = [np.asarray(uvdict[f'dim{i}'])
+                 for i in range(len(uvdict))]
+        state = GridInterpState.build(
+            uvecs, np.asarray(fd['idgrid']), np.asarray(fd['vec']),
+            np.asarray(dats), log_spec=bool(fd.get('log_spec', True)),
+            dtype=dtype)
+        model = TemplateModel(kind='grid', state=state, geom=geom,
+                              parnames=parnames, log_ids=log_ids,
+                              extra=extra)
+    elif itype == 'nn' or itype == 'generic':
+        from rvspecfit_tpu.interp import nn as nn_mod
+        nn_file = str(fd.get('nn_file') or NN_STATE_NAME % setup)
+        ck = serializer.load_dict_from_hdf5(os.path.join(lib, nn_file))
+        payload = ck.get('state', ck)
+        state = nn_mod.state_from_dict(payload, dtype=dtype)
+        model = TemplateModel(kind='nn', state=state, geom=geom,
+                              parnames=parnames, log_ids=log_ids,
+                              extra=extra)
+    elif itype == 'triangulation':
+        raise RuntimeError(
+            f'Setup {setup!r} uses a triangulation interpolator, which '
+            'is CPU-only (interp.triangulation.TriInterp). For on-device '
+            'fitting rebuild with rvst_make_nd --regulargrid, resample '
+            'with rvst_regularize_grid, or train the NN interpolator.')
+    else:
+        raise RuntimeError(f'Unknown interpolation type {itype!r}')
+
+    if cache:
+        _cache[key] = model
+    return model
+
+
+def load_template_models(config, setups, dtype=None):
+    """Load TemplateModels for several setups -> dict."""
+    return {s: load_template_model(s, config, dtype=dtype)
+            for s in setups}
+
+
+def get_spec_params(setup, config):
+    """Ordered parameter names of a setup
+    (reference: spec_inter.py:401-417)."""
+    return load_template_model(setup, config).parnames

@@ -28,3 +28,57 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 assert jax.devices()[0].platform == 'cpu'
 assert len(jax.devices()) == 8, 'expected a virtual 8-device CPU mesh'
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+SETUP_NAME = 'config1'
+
+
+@pytest.fixture(scope='session')
+def pipeline_library(tmp_path_factory):
+    """Full offline pipeline run on a synthetic regular grid:
+    FITS templates -> read_grid -> make_interpol -> make_nd
+    (--regulargrid) -> make_ccf.  Session-scoped: built once."""
+    from rvspecfit_tpu import simulation
+    from rvspecfit_tpu.io import fitsio
+    from rvspecfit_tpu.pipeline import (read_grid, make_interpol, make_nd,
+                                        make_ccf)
+
+    root = tmp_path_factory.mktemp('templ_lib')
+    specdir = root / 'grid' / 'specs'
+    os.makedirs(specdir)
+    lam = np.linspace(4500, 5500, 4000)
+    i = 0
+    for t in np.linspace(4000, 10000, 5):
+        for g in np.linspace(0.5, 5.0, 5):
+            for f in np.linspace(-2.0, 0.0, 4):
+                for a in np.linspace(0.0, 1.0, 3):
+                    sp = simulation.fake_spectrum(lam, t, g, f, a)
+                    fitsio.write(
+                        str(specdir / f'xx_{i:05d}.fits'),
+                        [dict(kind='image', data=sp,
+                              header=[('PHXTEFF', t, ''),
+                                      ('PHXLOGG', g, ''),
+                                      ('PHXM_H', f, ''),
+                                      ('PHXALPHA', a, '')])])
+                    i += 1
+    fitsio.write(str(root / 'grid' / 'wave.fits'),
+                 [dict(kind='image', data=lam)])
+
+    db = str(root / 'files.db')
+    outdir = str(root / 'templ_data')
+    read_grid.main(['--prefix', str(root / 'grid'), '--templdb', db,
+                    '--glob_mask', 'specs/*fits'])
+    make_interpol.main([
+        '--setup', SETUP_NAME, '--lambda0', '4600', '--lambda1', '5400',
+        '--resol', '1000', '--step', '1.0', '--templdb', db,
+        '--templprefix', str(root / 'grid'),
+        '--wavefile', str(root / 'grid' / 'wave.fits'),
+        '--oprefix', outdir, '--float_bits', '64'])
+    make_nd.main(['--prefix', outdir, '--setup', SETUP_NAME,
+                  '--regulargrid'])
+    make_ccf.main(['--prefix', outdir, '--oprefix', outdir,
+                   '--setup', SETUP_NAME, '--lambda0', '4600',
+                   '--lambda1', '5400', '--step', '1.0', '--every', '2'])
+    return outdir

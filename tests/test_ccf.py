@@ -1,0 +1,77 @@
+"""Tests of the FFT cross-correlation initializer against the
+pipeline-built CCF template bank, including a golden comparison of
+the batched device CCF math against a direct numpy implementation."""
+import numpy as np
+
+from conftest import SETUP_NAME
+from rvspecfit_tpu import simulation
+from rvspecfit_tpu.fit import ccf as ccf_mod
+from rvspecfit_tpu.fit.spec_data import SpecData
+from rvspecfit_tpu.pipeline import make_ccf
+from rvspecfit_tpu.utils import freeze
+
+
+def _config(lib):
+    return freeze(dict(min_vel=-1000, max_vel=1000, vel_step0=5,
+                       max_vsini=500, min_vsini=1e-2, min_vel_step=0.2,
+                       second_minimizer=False, template_lib=lib))
+
+
+def _observed(v0, seed=12, snr=150.0):
+    wres = 5000.0 / 1000.0 / 2.35
+    lam, spec, espec = simulation.observed_spectrum(
+        v0, 5800.0, 2.75, -0.6667, 0.5, npix=800, lam0=4650.0,
+        lam1=5350.0, wresol=wres, snr=snr, seed=seed)
+    return SpecData(SETUP_NAME, lam, spec, espec)
+
+
+def test_ccf_recovers_velocity(pipeline_library):
+    config = _config(pipeline_library)
+    v0 = -284.0
+    res = ccf_mod.fit(_observed(v0), config)
+    assert abs(res['best_vel'] - v0) < 10
+    assert set(res['best_par']) == {'teff', 'logg', 'feh', 'alpha'}
+    # the best template should be hot-ish like the injected star
+    assert 4000 <= res['best_par']['teff'] <= 10000
+    assert res['best_model'][SETUP_NAME].shape == res['proc_spec'][
+        SETUP_NAME].shape
+
+
+def test_ccf_matches_numpy_chain(pipeline_library):
+    """Golden: device batched CCF chi2 == direct numpy correlation."""
+    config = _config(pipeline_library)
+    sd = _observed(57.0, seed=3)
+    tfft, t2fft, mods, info = ccf_mod.get_ccf_info(SETUP_NAME, config)
+    ccfconf = info['ccfconf']
+    proc_spec, proc_ivar = make_ccf.preprocess_data(
+        sd.lam, sd.spec, sd.espec, badmask=sd.badmask, ccfconf=ccfconf)
+    sf = np.fft.rfft(proc_spec * proc_ivar)
+    ivf = np.fft.rfft(proc_ivar)
+
+    res = ccf_mod.fit(sd, config)
+    # recompute chi2 for the winning template directly
+    tf = np.asarray(tfft)[:, :]
+    t2 = np.asarray(t2fft)[:, :]
+    c0 = np.fft.irfft(tf * sf.conj()[None, :], axis=1)
+    c1 = np.fft.irfft(t2 * ivf.conj()[None, :], axis=1)
+    chi_np = -2 * c0 + c1
+    ind, sub_vels, step = ccf_mod._vel_axis(ccfconf, len(proc_spec), 1000)
+    chi_sub = chi_np[:, ind]
+    interp = np.array([np.interp(res['vel_grid'], sub_vels, row)
+                       for row in chi_sub])
+    total = interp + (proc_spec**2 * proc_ivar).sum()
+    best_id = int(np.argmin(total.min(axis=1)))
+    np.testing.assert_allclose(total[best_id],
+                               res['best_ccf'], rtol=2e-4, atol=2e-2)
+
+
+def test_ccf_feeds_process(pipeline_library):
+    """CCF guess -> vel_fit.process: the reference two-stage flow."""
+    from rvspecfit_tpu.fit import vel_fit
+    config = _config(pipeline_library)
+    v0 = 310.0
+    sd = _observed(v0, seed=8)
+    guess = ccf_mod.fit(sd, config)
+    p0 = dict(guess['best_par'])
+    res = vel_fit.process([sd], p0, config=config, options={'npoly': 10})
+    assert abs(res['vel'] - v0) < max(10, 3 * res['vel_err'])
