@@ -80,9 +80,8 @@ def main():
     def pipeline(bf):
         scan = bf.scan_velocities(vel_grid, start_params)
         nmres = bf.run_neldermead(mapper, scan['best_vel'])
-        vel_b, params_b, _, _ = mapper.unpack(jnp.asarray(nmres['x']))
-        params_b = np.asarray(params_b)
-        ref = bf.refine_velocities(np.asarray(vel_b), params_b)
+        vel_b, params_b, _ = mapper.unpack_host(nmres['x'])
+        ref = bf.refine_velocities(vel_b, params_b)
         errs, _, bad = bf.hessian_errors(ref['best_vel'], params_b,
                                          parnames=tm.parnames)
         return ref, params_b, errs

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from rvspecfit_tpu.fit import neldermead as nm
 from rvspecfit_tpu.fit import vel_fit as vf
-from rvspecfit_tpu.fit.find_best import quadratic_interp_min
 from rvspecfit_tpu.fit.likelihood import (chisq_trials_core, _overlap_check,
                                           SPEED_OF_LIGHT)
 from rvspecfit_tpu.fit.likelihood import scan_core as likelihood_scan_core
@@ -31,6 +30,42 @@ from rvspecfit_tpu.fit.spec_data import ArmState
 from rvspecfit_tpu.ops import basis as basis_mod
 from rvspecfit_tpu.ops import vsini as vsini_mod
 from rvspecfit_tpu.ops.resolution import BandedMatrix
+
+
+def _device_scan_stats(vels, mask, chi):
+    """Minimum + posterior moments of one velocity scan, on device.
+
+    Returns a packed (5,) vector [best_vel, vel_err, best_chi,
+    skewness, kurtosis].  Requires a uniformly spaced velocity grid;
+    masked-out entries are ignored.  Quadratic minimum refinement with
+    the reference's fallbacks (grid edge, non-convex, vertex escaping
+    the bracket -> grid point).
+    """
+    v = vels.shape[0]
+    inf = jnp.asarray(jnp.inf, dtype=chi.dtype)
+    chi_m = jnp.where(mask, chi, inf)
+    i1 = jnp.argmin(chi_m)
+    best_chi = chi_m[i1]
+    step = vels[1] - vels[0]
+    ic = jnp.clip(i1, 1, v - 2)
+    y0, y1, y2 = chi_m[ic - 1], chi_m[ic], chi_m[ic + 1]
+    denom = y0 - 2 * y1 + y2
+    offset = 0.5 * (y0 - y2) / jnp.where(denom == 0, 1.0, denom)
+    interior = (i1 >= 1) & (i1 <= v - 2) & jnp.isfinite(y0) \
+        & jnp.isfinite(y2)
+    good = interior & (denom > 0) & (jnp.abs(offset) < 1)
+    best_vel = jnp.where(good, vels[ic] + offset * step, vels[i1])
+
+    dchi = chi_m - best_chi
+    probs = jnp.where(mask, jnp.exp(-0.5 * jnp.clip(dchi, 0, 1400)), 0.0)
+    probs = probs / jnp.sum(probs)
+    dv = vels - best_vel
+    err = jnp.sqrt(jnp.sum(probs * dv * dv))
+    safe = err > 1e-10
+    err_s = jnp.where(safe, err, 1.0)
+    skew = jnp.where(safe, jnp.sum(probs * dv**3) / err_s**3, 0.0)
+    kurt = jnp.where(safe, jnp.sum(probs * dv**4) / err_s**4, 0.0)
+    return jnp.stack([best_vel, err, best_chi, skew, kurt])
 
 
 class BatchArm:
@@ -94,7 +129,7 @@ class BatchedFitter:
             if a.setup not in templates:
                 raise KeyError(f'no template model for setup {a.setup!r}')
             self.templates[a.setup] = templates[a.setup]
-            _overlap_check(templates[a.setup].lam, a.lam,
+            _overlap_check(templates[a.setup], a.lam,
                            config['min_vel'], config['max_vel'])
 
         # stacked ArmStates: leading fiber axis on dvec/espec_inv/
@@ -165,8 +200,21 @@ class BatchedFitter:
                 solve_dtype=self.solve_dtype)
 
         # fast velocity-scan path: template stage once per fiber
+        self._scan_one_fiber = scan_one_fiber
         self._scan_fibers = jax.jit(jax.vmap(
             scan_one_fiber, in_axes=(self.arm_axes, 0, 0, 0)))
+
+        def scan_stats_one(arms_slice, vels, mask, param, vsini):
+            chi = scan_one_fiber(arms_slice, vels, param, vsini)
+            return _device_scan_stats(vels, mask, chi)
+
+        # scan + statistics fused: ONE program, (B, 5) result — on
+        # remote TPU tunnels every host<->device sync costs seconds,
+        # so the scan must return only the distilled per-fiber stats
+        self._scan_stats_fibers = jax.jit(jax.vmap(
+            scan_stats_one, in_axes=(self.arm_axes, 0, 0, 0, 0)))
+
+        self._refine_fibers = None  # built lazily (needs static grid)
 
     # -------------------------------------------------------------
     def chisq(self, vels, params, vsinis=None):
@@ -206,12 +254,20 @@ class BatchedFitter:
         """Initial velocity scan: shared grid, per-fiber parameters.
 
         vel_grid : (V,); params0 : (B, ndim); vsini0 : (B,) or None.
-        Returns dict with (B,) best_vel/vel_err/best_chi.
+        Returns dict with (B,) best_vel/vel_err/best_chi — computed on
+        device, fetched as one (B, 5) array.
         """
         b = self.nfibers
         grids = np.tile(np.asarray(vel_grid, np.float64), (b, 1))
-        chis = self.scan_chisq(grids, params0, vsini0)
-        return self._scan_stats(grids, chis)
+        packed = np.asarray(self._scan_stats_fibers(
+            self.arms, jnp.asarray(grids, self.dtype),
+            jnp.ones(grids.shape, bool),
+            jnp.asarray(params0, self.dtype),
+            jnp.zeros(b, self.dtype) if vsini0 is None else
+            jnp.asarray(vsini0, self.dtype)))
+        return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
+                    best_chi=packed[:, 2], skewness=packed[:, 3],
+                    kurtosis=packed[:, 4])
 
     @staticmethod
     def _scan_stats(vel_grids, chis, masks=None):
@@ -278,17 +334,19 @@ class BatchedFitter:
         simplex = nm.build_simplex(jnp.asarray(x0, self.dtype),
                                    mapper.scales().astype(np.float64),
                                    seed=vf.SIMPLEX_SEED)
-        success = np.ones(self.nfibers, bool)
         for it in range(maxrestart):
             res = nm.minimize_batch(objective, simplex, fatol=fatol,
                                     xatol=xatol, maxiter=maxiter)
-            conv = np.asarray(res['converged'])
+            # ONE packed fetch per restart round (x | fun | converged)
+            packed = np.asarray(jnp.concatenate(
+                [res['x'], res['fun'][:, None],
+                 res['converged'][:, None].astype(res['x'].dtype)],
+                axis=1))
+            conv = packed[:, -1] > 0.5
             if conv.all() or it == maxrestart - 1:
-                success = conv.copy()
                 break
             simplex = res['final_simplex']
-        return dict(x=np.asarray(res['x']), fun=np.asarray(res['fun']),
-                    converged=success)
+        return dict(x=packed[:, :-2], fun=packed[:, -2], converged=conv)
 
     def _make_objective(self, mapper, priors=None):
         min_vel = float(self.config['min_vel'])
@@ -320,77 +378,107 @@ class BatchedFitter:
         return objective
 
     # -------------------------------------------------------------
-    def refine_velocities(self, best_vel, params, vsinis=None, nvel=160):
-        """Batched iterative velocity refinement (all fibers step the
-        refinement loop together; converged fibers freeze).
-
-        Control logic per fiber mirrors the reference _minimum_sampler
-        (py/rvspecfit/vel_fit.py:358-439) with fixed-size grids.
-        """
+    def _build_refine(self, nv, maxiter):
+        """Jitted whole-refinement program: the reference's iterative
+        _minimum_sampler loop (py/rvspecfit/vel_fit.py:358-439) as a
+        single on-device fori_loop per fiber — grids rebuilt in-graph,
+        one (B, 5) fetch for the whole refinement."""
         cfg = self.config
-        b = self.nfibers
         crit_ratio, goal_width = 5.0, 10.0
-        min_vel0, max_vel0 = float(cfg['min_vel']), float(cfg['max_vel'])
+        min_vel0 = float(cfg['min_vel'])
+        max_vel0 = float(cfg['max_vel'])
         min_vel_step = float(cfg['min_vel_step'])
         vel_step0 = float(cfg['vel_step0'])
 
-        best_vel = np.clip(np.asarray(best_vel, np.float64), min_vel0,
-                           max_vel0)
-        params = np.asarray(params, np.float64)
-        lo = np.full(b, min_vel0)
-        hi = np.full(b, max_vel0)
-        step = np.full(b, vel_step0)
-        done = np.zeros(b, bool)
-        result = {k: np.zeros(b) for k in
-                  ('best_vel', 'vel_err', 'best_chi', 'skewness',
-                   'kurtosis')}
+        nv_win = 160  # window grids after the first full-range pass
 
-        # first pass uses the full-range grid; subsequent passes a
-        # fixed nvel-point window
-        first = True
-        for _ in range(10):
-            if done.all():
-                break
-            if first:
-                nv = max(int(math.ceil((max_vel0 - min_vel0) / vel_step0)),
-                         nvel)
-                first = False
-            else:
-                nv = nvel
-            grids = np.zeros((b, nv))
-            masks = np.zeros((b, nv), bool)
-            for i in range(b):
-                g0 = math.ceil((lo[i] - best_vel[i]) / step[i]) * step[i]
-                g = g0 + np.arange(nv) * step[i] + best_vel[i]
-                m = g < hi[i]
-                if not m.any():
-                    m[0] = True
-                grids[i] = np.where(m, g, g[np.argmax(m)])
-                masks[i] = m
-            chis = self.scan_chisq(grids, params, vsinis)
-            stats = self._scan_stats(grids, chis, masks)
-            for k in result:
-                result[k] = np.where(done, result[k], stats[k])
-            newly = np.zeros(b, bool)
-            for i in range(b):
-                if done[i]:
-                    continue
-                best_vel[i] = stats['best_vel'][i]
-                err = stats['vel_err'][i]
-                if step[i] < err / crit_ratio or step[i] < min_vel_step:
-                    newly[i] = True
-                    continue
-                if step[i] > err:
-                    new_step = step[i] / crit_ratio
-                    width = step[i] * goal_width
-                else:
-                    new_step = err / crit_ratio * 0.8
-                    width = err * goal_width
-                lo[i] = max(best_vel[i] - width, min_vel0)
-                hi[i] = min(best_vel[i] + width, max_vel0)
-                step[i] = new_step
-            done |= newly
-        return result
+        def step_one(arms_slice, nv_cur, state, param, vsini):
+            """One refinement iteration on an nv_cur-point grid."""
+            dt = self.dtype
+            best, lo, hi, step, done, stats = state
+            g0 = jnp.ceil((lo - best) / step) * step
+            grid = g0 + jnp.arange(nv_cur, dtype=dt) * step + best
+            mask = grid < hi
+            mask = mask.at[0].set(True)   # at least one valid point
+            grid = jnp.where(mask, grid, grid[0])
+            chi = self._scan_one_fiber(arms_slice, grid, param, vsini)
+            new_stats = _device_scan_stats(grid, mask, chi)
+            stats = jnp.where(done, stats, new_stats)
+            best_new = jnp.where(done, best, new_stats[0])
+            err = new_stats[1]
+            stop = (step < err / crit_ratio) | (step < min_vel_step)
+            unresolved = step > err
+            step_new = jnp.where(unresolved, step / crit_ratio,
+                                 err / crit_ratio * 0.8)
+            width = jnp.where(unresolved, step * goal_width,
+                              err * goal_width)
+            lo_new = jnp.maximum(best_new - width, min_vel0)
+            hi_new = jnp.minimum(best_new + width, max_vel0)
+            keep = done
+            return (best_new,
+                    jnp.where(keep, lo, lo_new),
+                    jnp.where(keep, hi, hi_new),
+                    jnp.where(keep, step, step_new),
+                    done | stop,
+                    stats)
+
+        def refine_all(arms, best_vel0, params, vsinis):
+            dt = self.dtype
+            b = best_vel0.shape[0]
+            init = (jnp.clip(best_vel0, min_vel0, max_vel0),
+                    jnp.full(b, min_vel0, dt), jnp.full(b, max_vel0, dt),
+                    jnp.full(b, vel_step0, dt), jnp.zeros(b, bool),
+                    jnp.zeros((b, 5), dt))
+            # first pass: full-range grid ("crucially we start from a
+            # broad range to capture multiple CCF peaks",
+            # vel_fit.py:368-372)
+            state = jax.vmap(
+                lambda a, s0, s1, s2, s3, s4, s5, p, w: step_one(
+                    a, nv, (s0, s1, s2, s3, s4, s5), p, w),
+                in_axes=(self.arm_axes,) + (0,) * 8)(
+                    arms, *init, params, vsinis)
+
+            # subsequent passes: narrow windows, loop exits as soon as
+            # every fiber has converged
+            def cond(carry):
+                it, st = carry
+                return (it < maxiter) & ~jnp.all(st[4])
+
+            def body(carry):
+                it, st = carry
+                st = jax.vmap(
+                    lambda a, s0, s1, s2, s3, s4, s5, p, w: step_one(
+                        a, nv_win, (s0, s1, s2, s3, s4, s5), p, w),
+                    in_axes=(self.arm_axes,) + (0,) * 8)(
+                        arms, *st, params, vsinis)
+                return it + 1, st
+
+            _, state = jax.lax.while_loop(cond, body, (jnp.asarray(1),
+                                                       state))
+            return state[5]
+
+        return jax.jit(refine_all)
+
+    def refine_velocities(self, best_vel, params, vsinis=None,
+                          maxiter=10):
+        """Batched iterative velocity refinement, fully on device."""
+        b = self.nfibers
+        nv = int(math.ceil((float(self.config['max_vel'])
+                            - float(self.config['min_vel']))
+                           / float(self.config['vel_step0']))) + 1
+        key = ('refine', nv, maxiter)
+        fn = self._objective_cache.get(key)
+        if fn is None:
+            fn = self._build_refine(nv, maxiter)
+            self._objective_cache[key] = fn
+        vs = jnp.zeros(b, self.dtype) if vsinis is None else \
+            jnp.asarray(vsinis, self.dtype)
+        packed = np.asarray(fn(self.arms,
+                               jnp.asarray(best_vel, self.dtype),
+                               jnp.asarray(params, self.dtype), vs))
+        return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
+                    best_chi=packed[:, 2], skewness=packed[:, 3],
+                    kurtosis=packed[:, 4])
 
     # -------------------------------------------------------------
     def hessian_errors(self, best_vel, params, vsinis=None, priors=None,

@@ -45,18 +45,26 @@ SPEED_OF_LIGHT = 299792.458  # km/s
 MAX_TEMPLATE_VALUE = 1e100
 
 
-def _overlap_check(templ_lam, arm_lam, min_vel, max_vel):
+def _overlap_check(tm_or_bounds, arm_lam, min_vel, max_vel):
     """Template must cover the data at all considered velocities
-    (reference: py/rvspecfit/spec_fit.py:786-794)."""
+    (reference: py/rvspecfit/spec_fit.py:786-794).
+
+    Accepts a TemplateModel (uses its static geometry bounds — never
+    touches device arrays: device->host readbacks can cost seconds on
+    remote TPU tunnels) or a (lam0, lam1) pair / wavelength array.
+    """
+    if hasattr(tm_or_bounds, 'geom'):
+        t0, t1 = tm_or_bounds.geom.x0, tm_or_bounds.geom.x_last
+    else:
+        t0, t1 = float(tm_or_bounds[0]), float(tm_or_bounds[-1])
+    a0, a1 = float(arm_lam[0]), float(arm_lam[-1])
     for vel in (min_vel, max_vel):
         corr = np.sqrt((1 + vel / SPEED_OF_LIGHT)
                        / (1 - vel / SPEED_OF_LIGHT))
-        if templ_lam[0] * corr > arm_lam[0] or templ_lam[-1] * corr < \
-                arm_lam[-1]:
+        if t0 * corr > a0 or t1 * corr < a1:
             raise RuntimeError(
-                f'Template wavelengths ({templ_lam[0]},{templ_lam[-1]}) do '
-                f'not cover the data ({arm_lam[0]},{arm_lam[-1]}) at '
-                f'velocities {min_vel}..{max_vel}')
+                f'Template wavelengths ({t0},{t1}) do not cover the '
+                f'data ({a0},{a1}) at velocities {min_vel}..{max_vel}')
 
 
 def template_stage(tm: TemplateModel, params, vsinis, use_vsini,
@@ -230,9 +238,10 @@ class FusedChisq:
             self.templates[s] = templates[s]
 
         min_vel, max_vel = config['min_vel'], config['max_vel']
-        for arm in self.arms:
-            tm = self.templates[arm.setup]
-            _overlap_check(tm.lam, np.asarray(arm.lam), min_vel, max_vel)
+        for sd in self.specdata:
+            _overlap_check(self.templates[
+                self.arms[self.specdata.index(sd)].setup],
+                sd.lam, min_vel, max_vel)
 
         self.badchi = float(10 * sum(a.npix for a in self.arms))
         # static vsini kernel half-width from the configured max vsini

@@ -96,6 +96,29 @@ class ParamMapper:
         vec.extend(std.get(p, 0.5) for p in self.free_names)
         return np.array(vec, dtype=np.float64)
 
+    def unpack_host(self, pvec):
+        """Numpy version of :meth:`unpack` for host post-processing
+        (avoids device round-trips on fetched optimizer results)."""
+        pvec = np.atleast_2d(np.asarray(pvec, np.float64))
+        b = pvec.shape[0]
+        vel = pvec[:, 0]
+        idx = 1
+        if self.fitVsini:
+            vsini = np.clip(pvec[:, 1], 0, self.vsiniMapper.max_vsini)
+            idx = 2
+        elif 'vsini' in self.fixParam:
+            vsini = np.full(b, float(self.paramDict0['vsini']))
+        else:
+            vsini = np.zeros(b)
+        cols = []
+        free_iter = itertools.count(idx)
+        for p in self.specParams:
+            if p in self.fixParam:
+                cols.append(np.full(b, float(self.paramDict0[p])))
+            else:
+                cols.append(pvec[:, next(free_iter)])
+        return vel, np.stack(cols, axis=1), vsini
+
     def unpack(self, pvec):
         """Batched (B, nvec) -> (vel (B,), params (B, ndim), vsini (B,),
         penalty (B,)).  vsini is 0 when rotation is not modeled."""

@@ -198,8 +198,15 @@ def spline_eval(geom: SplineGeometry, coeffs, x):
     idx = jnp.clip(idx_f.astype(jnp.int32), 0, geom.n - 2)
     inrange = (x >= geom.x0) & (x < geom.x_last)
 
-    xl = geom.xs[idx]
-    xr = geom.xs[idx + 1]
+    # knot positions computed analytically from the uniform grid —
+    # TPU generic gathers are the bottleneck of this kernel, and this
+    # removes two of the three gathers per query point
+    if geom.log_step:
+        xl = geom.x0 * jnp.exp(idx.astype(dt) * dt.type(geom.step))
+        xr = xl * dt.type(np.exp(geom.step))
+    else:
+        xl = geom.x0 + idx.astype(dt) * dt.type(geom.step)
+        xr = xl + dt.type(geom.step)
     dxl = x - xl
     dxr = xr - x
     cf = jnp.take(coeffs, idx, axis=0)        # (..., 4)
