@@ -315,12 +315,13 @@ class BatchedFitter:
 
     # -------------------------------------------------------------
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
-                       fatol=1e-3, xatol=1e-2, maxiter=2000):
+                       fatol=1e-3, xatol=1e-2, maxiter=2000, x0=None):
         """Batched NM over fibers.
 
-        mapper : vel_fit.ParamMapper built with per-fiber-shared
-            paramDict0 (same starting atmospheric parameters for all
-            fibers), or per-fiber start vectors via best_vel0 (B,).
+        mapper : vel_fit.ParamMapper; starting vectors default to the
+            mapper's paramDict0 with per-fiber velocities best_vel0
+            (B,), or pass ``x0`` (B, nvec) for fully per-fiber starts
+            (e.g. per-fiber CCF guesses).
         Returns dict with x (B, nvec), fun, converged.
         """
         key = (id(mapper), None if priors is None else
@@ -329,8 +330,11 @@ class BatchedFitter:
         if objective is None:
             objective = self._make_objective(mapper, priors)
             self._objective_cache[key] = objective
-        x0 = np.tile(mapper.start_vector(0.0), (self.nfibers, 1))
-        x0[:, 0] = np.asarray(best_vel0)
+        if x0 is None:
+            x0 = np.tile(mapper.start_vector(0.0), (self.nfibers, 1))
+            x0[:, 0] = np.asarray(best_vel0)
+        else:
+            x0 = np.asarray(x0, np.float64)
         simplex = nm.build_simplex(jnp.asarray(x0, self.dtype),
                                    mapper.scales().astype(np.float64),
                                    seed=vf.SIMPLEX_SEED)
@@ -479,6 +483,86 @@ class BatchedFitter:
         return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
                     best_chi=packed[:, 2], skewness=packed[:, 3],
                     kurtosis=packed[:, 4])
+
+    # -------------------------------------------------------------
+    def best_models(self, best_vel, params, vsinis=None):
+        """Best-fit models for every fiber and arm at the optimum.
+
+        Returns dict with per-arm lists: models {name: (B, npix)},
+        raw_models, and host-computed true chi-squares / reduced
+        chi-squares / npix (masked-pixel aware), plus the continuum-
+        only chi-squares (reference get_chisq_continuum,
+        spec_fit.py:739-783).
+        """
+        b = self.nfibers
+
+        def model_one(arms_slice, vel, param, vsini):
+            from rvspecfit_tpu.fit.likelihood import template_stage
+            from rvspecfit_tpu.ops import spline as spline_mod
+            from rvspecfit_tpu.ops import chisq as chisq_mod
+            stage = {s: template_stage(
+                self.templates[s], param[None, :], vsini[None],
+                self.use_vsini, self._half_widths.get(s))
+                for s in self.templates}
+            beta = vel / SPEED_OF_LIGHT
+            dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
+            out = []
+            for arm in arms_slice:
+                coeffs = stage[arm.setup][0][0]
+                tm = self.templates[arm.setup]
+                val, _ = spline_mod.spline_eval(tm.geom, coeffs,
+                                                arm.lam * dop)
+                if arm.band is not None:
+                    val = arm.band.matvec(val)
+                _, coef = chisq_mod.chisq_continuum_marg(
+                    arm.dvec, val * arm.espec_inv, arm.polys,
+                    arm.log_espec_sum, solve_dtype=self.solve_dtype,
+                    with_coeffs=True)
+                model = jnp.dot(coef, arm.polys * val[None, :])
+                # continuum-only model
+                ctempl = jnp.ones_like(val)
+                if arm.band is not None:
+                    ctempl = arm.band.matvec(ctempl)
+                _, ccoef = chisq_mod.chisq_continuum_marg(
+                    arm.dvec, ctempl * arm.espec_inv, arm.polys,
+                    arm.log_espec_sum, solve_dtype=self.solve_dtype,
+                    with_coeffs=True)
+                cmodel = jnp.dot(ccoef, arm.polys * ctempl[None, :])
+                out.extend([model, val, cmodel])
+            return tuple(out)
+
+        key = ('models',)
+        fn = self._objective_cache.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(model_one,
+                                  in_axes=(self.arm_axes, 0, 0, 0)))
+            self._objective_cache[key] = fn
+        vs = jnp.zeros(b, self.dtype) if vsinis is None else \
+            jnp.asarray(vsinis, self.dtype)
+        flat = fn(self.arms, jnp.asarray(best_vel, self.dtype),
+                  jnp.asarray(params, self.dtype), vs)
+        flat = [np.asarray(x) for x in flat]
+
+        ret = dict(models={}, raw_models={}, cont_models={},
+                   chisq={}, red_chisq={}, npix={}, cont_chisq={})
+        for k, a in enumerate(self.batch_arms):
+            model, raw, cmodel = flat[3 * k:3 * k + 3]
+            esp = a.espec()
+            good = ~(a.badmask | ~np.isfinite(a.flux)
+                     | ~np.isfinite(a.ivar) | (a.ivar <= 0))
+            dev = np.where(good, (model - np.where(good, a.flux, 0.0))
+                           / esp, 0.0)
+            cdev = np.where(good, (cmodel - np.where(good, a.flux, 0.0))
+                            / esp, 0.0)
+            ret['models'][a.name] = model
+            ret['raw_models'][a.name] = raw
+            ret['cont_models'][a.name] = cmodel
+            ret['chisq'][a.name] = (dev**2).sum(axis=1)
+            ret['cont_chisq'][a.name] = (cdev**2).sum(axis=1)
+            ret['npix'][a.name] = good.sum(axis=1)
+            ret['red_chisq'][a.name] = ret['chisq'][a.name] / np.maximum(
+                ret['npix'][a.name], 1)
+        return ret
 
     # -------------------------------------------------------------
     def hessian_errors(self, best_vel, params, vsinis=None, priors=None,

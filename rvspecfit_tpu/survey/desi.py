@@ -1,0 +1,703 @@
+"""DESI batch-fitting pipeline (rvst_desi_fit).
+
+Equivalent of the reference rvs_desi_fit
+(reference: py/rvspecfit/desi/desi_fit.py), TPU-native: instead of a
+per-fiber process pool, every selected fiber of a coadd/spectra file
+is fitted *simultaneously* through the batched fitter — the fiber
+axis is the device batch axis (and, on pods, the mesh data axis).
+
+Per file:
+ 1. validate + read the B/R/Z arms (flux/ivar/mask/wavelength/
+    resolution) and the FIBERMAP;
+ 2. compute per-fiber S/N; select fibers (fiberstatus, min S/N,
+    targetid list, expid range, optional redrock star selection);
+ 3. build stacked per-arm data with bad-pixel infill, dichroic mask,
+    error clamping and optional per-fiber banded resolution matrices
+    with template-LSF deconvolution;
+ 4. per-fiber CCF initialization (device-batched FFT correlation);
+ 5. batched ML fit: velocity scan -> Nelder-Mead -> velocity
+    refinement -> AD Hessian errors -> models;
+ 6. quality bitmask RVS_WARN; write RVTAB + RVMOD FITS atomically;
+    per-file crash isolation; status files; skipexisting.
+
+Differences from the reference, by design: desitarget-based target-
+class decoding is not available in this environment (no desitarget
+package); selection by target class accepts explicit bitmask values
+instead.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+from rvspecfit_tpu import utils, __version__
+from rvspecfit_tpu.io import fitsio
+from rvspecfit_tpu.fit import ccf as ccf_mod
+from rvspecfit_tpu.fit import vel_fit
+from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
+from rvspecfit_tpu.fit.spec_data import SpecData
+from rvspecfit_tpu.pipeline import library
+
+TABLE_PREFIX = 'rvtab'
+MODEL_PREFIX = 'rvmod'
+
+bitmasks = dict(CHISQ_WARN=1, RV_WARN=2, RVERR_WARN=4, PARAM_WARN=8,
+                VSINI_WARN=16, BAD_SPECTRUM=32, BAD_HESSIAN=64)
+
+PROC_STATUS_SUCCESS = 'SUCCESS'
+PROC_STATUS_FAILURE = 'FAILURE'
+PROC_STATUS_EXISTING = 'EXISTING'
+
+
+def update_process_status_file(status_fname, processed_file, status,
+                               nobjects, time_sec, start=False):
+    """Append-only per-file bookkeeping enabling restart
+    (reference: desi_fit.py:61-74)."""
+    if start:
+        with open(status_fname, 'w'):
+            pass
+        if processed_file is None:
+            return
+    with open(status_fname, 'a') as fp:
+        print(f'{processed_file} {status} {nobjects} {time_sec:.2f}',
+              file=fp)
+
+
+# ------------------- resolution matrix handling -------------------
+
+def _band_torows(mat):
+    """dia-convention band (offsets +w2..-w2, column-indexed) ->
+    row-indexed band (reference: desi_fit.py:682-687)."""
+    w = mat.shape[0]
+    w2 = w // 2
+    return np.array([np.roll(mat[k], k - w2) for k in range(w)])[::-1]
+
+
+def _band_tocolumns(mat_rows):
+    w = mat_rows.shape[0]
+    w2 = w // 2
+    return np.array([np.roll(mat_rows[::-1][k], w2 - k)
+                     for k in range(w)])
+
+
+def deconvolve_resolution_matrix(mat0, sigma0_angstrom=0.5,
+                                 pix_size_angstrom=0.8):
+    """Deconvolve the template LSF (sigma0) out of a DESI banded
+    resolution matrix by solving the band-width-domain Gaussian
+    system (reference: desi_fit.py:694-720)."""
+    width, npix = mat0.shape
+    sig_pix = sigma0_angstrom / pix_size_angstrom
+    xs = np.arange(width)
+    gau = np.array([np.exp(-0.5 * ((xs - i) / sig_pix)**2)
+                    / np.sqrt(2 * np.pi) / sig_pix for i in range(width)])
+    w2 = width // 2
+    rows = _band_torows(mat0)
+    for i in range(w2):
+        rows[:w2 - i - 1, i] = 0
+        rows[w2 + 1 + i:, npix - 1 - i] = 0
+    rows1 = np.linalg.solve(gau, rows)
+    return _band_tocolumns(rows1)
+
+
+def prepare_resolution_band(mat, pix_size_angstrom=None,
+                            sigma0_angstrom=None):
+    """Deconvolve + edge-renormalize one fiber's banded resolution;
+    returns ROW-indexed band data for ops.resolution.BandedMatrix
+    (reference edge handling: desi_fit.py:723-748)."""
+    mat = deconvolve_resolution_matrix(
+        mat, sigma0_angstrom=sigma0_angstrom,
+        pix_size_angstrom=pix_size_angstrom)
+    width, npix = mat.shape
+    w2 = width // 2
+    rows = _band_torows(mat)
+    mult = np.median(rows.sum(axis=0))
+    if mult == 0:
+        mult = 1
+    for i in range(w2):
+        n1 = rows[w2 - i:, i].sum()
+        rows[:, i] = rows[:, i] / (n1 + (n1 == 0)) * mult
+        j = npix - 1 - i
+        n2 = rows[:w2 + 1 + i, j].sum()
+        rows[:, j] = rows[:, j] / (n2 + (n2 == 0)) * mult
+    # rows[k, i] multiplies input pixel i + (w2 - k) for output i,
+    # which is exactly our row-oriented band storage ordering
+    return rows
+
+
+# ------------------------- file reading ---------------------------
+
+def valid_file(fp, setups):
+    """Check the file has every needed extension
+    (reference: desi_fit.py:225-245)."""
+    names = {str(n).upper() for n in fp.names()}
+    needed = {'FIBERMAP'}
+    for s in setups:
+        for kind in ('WAVELENGTH', 'FLUX', 'IVAR', 'MASK'):
+            needed.add(f'{s.upper()}_{kind}')
+    missing = needed - names
+    if missing:
+        logging.error('Missing extensions: %s', sorted(missing))
+        return False
+    return True
+
+
+def read_data(fp, setups):
+    fluxes, ivars, masks, waves, resolutions = {}, {}, {}, {}, {}
+    for s in setups:
+        su = s.upper()
+        fluxes[s] = np.atleast_2d(fp[f'{su}_FLUX'].data)
+        ivars[s] = np.atleast_2d(fp[f'{su}_IVAR'].data)
+        masks[s] = np.atleast_2d(fp[f'{su}_MASK'].data)
+        waves[s] = np.asarray(fp[f'{su}_WAVELENGTH'].data).ravel()
+        if f'{su}_RESOLUTION' in fp:
+            resolutions[s] = fp[f'{su}_RESOLUTION'].data
+        else:
+            resolutions[s] = None
+    return fluxes, ivars, masks, waves, resolutions
+
+
+def get_sns(data, ivars, masks):
+    """Median per-fiber S/N (reference: desi_fit.py:444-456)."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        bad = (ivars <= 0) | (masks > 0)
+        xsn = data * np.sqrt(np.where(bad, 0, ivars))
+        xsn[bad] = np.nan
+        sns = np.nanmedian(xsn, axis=1)
+        sns[~np.isfinite(sns)] = -1e9
+    return sns
+
+
+def fiberstatus_select(fibermap):
+    """Good-fiberstatus subset (reference: desi_fit.py:524-543)."""
+    good_bits = np.array([3, 20], dtype=int)
+    good = int(np.sum(1 << good_bits))
+    if 'FIBERSTATUS' in fibermap:
+        col = fibermap['FIBERSTATUS']
+    elif 'COADD_FIBERSTATUS' in fibermap:
+        col = fibermap['COADD_FIBERSTATUS']
+    else:
+        raise RuntimeError('Fiberstatus column not found')
+    return (col & good) == col
+
+
+def select_fibers_to_fit(fibermap, sns, minsn=None, fit_targetid=None,
+                         expid_range=None, zbest_path=None,
+                         zbest_select=False, objtype_mask=None):
+    """Fiber selection (reference: desi_fit.py:546-679, simplified:
+    explicit DESI_TARGET bitmask instead of desitarget decoding)."""
+    n = len(fibermap['TARGETID'])
+    sel = np.ones(n, dtype=bool)
+    sel &= fiberstatus_select(fibermap)
+    if 'OBJTYPE' in fibermap:
+        sel &= np.char.strip(fibermap['OBJTYPE'].astype(str)) == 'TGT'
+    if objtype_mask is not None and 'DESI_TARGET' in fibermap:
+        sel &= (fibermap['DESI_TARGET'] & objtype_mask) > 0
+    if minsn is not None:
+        sel &= sns > minsn
+    if fit_targetid is not None:
+        sel &= np.isin(fibermap['TARGETID'], fit_targetid)
+    if expid_range is not None and 'EXPID' in fibermap:
+        lo, hi = expid_range
+        sel &= (fibermap['EXPID'] >= lo) & (fibermap['EXPID'] <= hi)
+    rr = {}
+    if zbest_path is not None and os.path.exists(zbest_path):
+        zb = fitsio.read(zbest_path)
+        ztab = zb['REDSHIFTS'].data if 'REDSHIFTS' in zb else \
+            zb['ZBEST'].data
+        order = {tid: i for i, tid in enumerate(ztab['TARGETID'])}
+        idx = np.array([order.get(t, -1) for t in fibermap['TARGETID']])
+        has = idx >= 0
+        z = np.where(has, ztab['Z'][np.maximum(idx, 0)], np.nan)
+        spectype = np.where(
+            has, np.char.strip(ztab['SPECTYPE'].astype(str))[
+                np.maximum(idx, 0)], '')
+        subtype = np.where(
+            has, np.char.strip(ztab.get('SUBTYPE', ztab['SPECTYPE']).astype(
+                str))[np.maximum(idx, 0)], '') if 'SUBTYPE' in ztab else \
+            np.full(n, '')
+        rr = dict(RR_Z=z, RR_SPECTYPE=spectype, RR_SUBTYPE=subtype)
+        if zbest_select:
+            c_kms = 299792.458
+            is_star = (spectype == 'STAR') | (
+                np.abs(z * c_kms) < 1500.0)
+            sel &= has & is_star
+    return sel, rr
+
+
+# --------------------- per-fiber data assembly --------------------
+
+def interpolate_bad_regions(spec, mask):
+    """Linear infill of contiguous bad regions
+    (reference: desi_fit.py:751-778)."""
+    xind = np.nonzero(mask)[0]
+    if len(xind) == 0 or len(xind) == len(spec):
+        return spec
+    spec1 = spec.copy()
+    edges = np.nonzero(np.diff(xind, prepend=-10) > 1)[0]
+    for i in range(len(edges)):
+        lh = xind[edges[i]]
+        rh = xind[edges[i + 1] - 1] if i < len(edges) - 1 else xind[-1]
+        if lh == 0:
+            spec1[:rh + 1] = spec[rh + 1]
+        elif rh == len(spec) - 1:
+            spec1[lh:] = spec[lh - 1]
+        else:
+            spec1[lh:rh + 1] = np.interp(
+                np.arange(lh, rh + 1), [lh - 1, rh + 1],
+                [spec[lh - 1], spec[rh + 1]])
+    return spec1
+
+
+def build_batch_arms(waves, fluxes, ivars, masks, resolutions, subset,
+                     setups, use_resolution_matrix=False,
+                     mask_dicroic=True, lsf_sigma0_angstrom=None):
+    """Stacked per-arm data for the selected fibers.
+
+    Reference per-fiber logic (desi_fit.py:781-886) vectorized over
+    fibers: bad-pixel identification, dichroic mask, linear infill,
+    large-error masking, error clamping, optional per-fiber resolution
+    bands.  Returns (arms, good_fiber_mask).
+    """
+    large_error = 1000.0
+    minerr_frac = 0.3
+    idx = np.nonzero(subset)[0]
+    nf = len(idx)
+    arms = []
+    anygood = np.zeros(nf, dtype=bool)
+    for s in setups:
+        wave = waves[s]
+        flux = np.array(fluxes[s][idx], dtype=np.float64)
+        ivar = np.array(ivars[s][idx], dtype=np.float64)
+        mask = masks[s][idx] > 0
+        baddat = ~np.isfinite(flux + ivar)
+        baderr = ivar <= 0
+        dicroic = ((wave > 4300) & (wave < 4450))[None, :] if mask_dicroic \
+            else np.zeros((1, len(wave)), bool)
+        edge_mask = np.zeros(len(wave), bool)
+        res_band = None
+        if use_resolution_matrix and resolutions[s] is not None:
+            dwave = wave[1] - wave[0]
+            sig0 = (lsf_sigma0_angstrom or {}).get(s, 0.5)
+            res_band = np.array([
+                prepare_resolution_band(resolutions[s][i],
+                                        pix_size_angstrom=dwave,
+                                        sigma0_angstrom=sig0)
+                for i in idx])
+            edge_mask[:5] = True
+            edge_mask[-5:] = True
+        badall = baddat | mask | baderr | dicroic | edge_mask[None, :]
+        badall_interp = baddat | mask | baderr
+
+        flux = np.where(np.isfinite(flux), flux, 0.0)
+        medspec = np.nanmedian(np.where(badall, np.nan, flux), axis=1)
+        fallback = np.nanmedian(np.abs(flux), axis=1)
+        medspec = np.where(np.isfinite(medspec) & (medspec != 0),
+                           medspec, fallback)
+        medspec = np.where(np.isfinite(medspec) & (medspec != 0),
+                           medspec, 1.0)
+        ivar = np.where(badall,
+                        1.0 / medspec[:, None]**2 / large_error**2, ivar)
+        for i in range(nf):
+            flux[i] = interpolate_bad_regions(flux[i], badall_interp[i])
+        with np.errstate(divide='ignore'):
+            espec = 1.0 / np.sqrt(ivar)
+        good = ~badall
+        anygood |= good.any(axis=1)
+        # clamp too-small errors (reference: desi_fit.py:866-874)
+        gmed = np.nanmedian(np.where(good, espec, np.nan), axis=1)
+        gmed = np.where(np.isfinite(gmed), gmed, 1.0)
+        thresh = gmed * minerr_frac
+        clamp = (espec < thresh[:, None]) & good
+        espec = np.where(clamp, thresh[:, None], espec)
+        ivar = 1.0 / espec**2
+
+        arms.append(BatchArm(f'desi_{s}', wave, flux, ivar,
+                             badmask=badall, resolution=res_band,
+                             setup=f'desi_{s}'))
+    return arms, anygood
+
+
+# -------------------------- warnings ------------------------------
+
+def _bad_edge_check(val, edges, thresh):
+    return (val < edges[0] + thresh) or (val > edges[1] - thresh)
+
+
+def get_rvs_warn_batch(results, config):
+    """Vectorized quality bitmask (reference: desi_fit.py:381-430)."""
+    nf = len(results['VRAD'])
+    warn = np.zeros(nf, dtype=np.int64)
+    dchisq = results['CHISQ_C_TOT'] - results['CHISQ_TOT']
+    warn |= np.where(dchisq < 50, bitmasks['CHISQ_WARN'], 0)
+    rvedge = 5.0
+    warn |= np.where(
+        (results['VRAD'] < config['min_vel'] + rvedge)
+        | (results['VRAD'] > config['max_vel'] - rvedge),
+        bitmasks['RV_WARN'], 0)
+    warn |= np.where(results['VSINI'] > 100.0, bitmasks['VSINI_WARN'], 0)
+    warn |= np.where(results['VRAD_ERR'] > 100.0,
+                     bitmasks['RVERR_WARN'], 0)
+    warn |= np.where(results['BAD_HESSIAN'], bitmasks['BAD_HESSIAN'], 0)
+    for name, edges, thr in (('TEFF', (2300, 15000), 10),
+                             ('FEH', (-4, 1), 0.01),
+                             ('LOGG', (-0.5, 6.5), 0.01)):
+        v = results[name]
+        warn |= np.where((v < edges[0] + thr) | (v > edges[1] - thr),
+                         bitmasks['PARAM_WARN'], 0)
+    return warn
+
+
+# --------------------------- main fit -----------------------------
+
+def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
+              setups=('b', 'r', 'z'), minsn=-1e9, fit_targetid=None,
+              expid_range=None, ccf_init=True, use_resolution_matrix=False,
+              zbest_path=None, zbest_select=False, objtype_mask=None,
+              npoly=10, doplot=False, templates=None):
+    """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
+
+    Returns the number of fitted objects (0 when nothing selected).
+    """
+    t0 = time.time()
+    fp = fitsio.read(fname)
+    if not valid_file(fp, setups):
+        raise RuntimeError(f'{fname}: invalid file')
+    fibermap = fp['FIBERMAP'].data
+    fluxes, ivars, masks, waves, resolutions = read_data(fp, setups)
+    sns = {s: get_sns(fluxes[s], ivars[s], masks[s]) for s in setups}
+    sn_max = np.max(np.array([sns[s] for s in setups]), axis=0)
+
+    subset, rr_info = select_fibers_to_fit(
+        fibermap, sn_max, minsn=minsn, fit_targetid=fit_targetid,
+        expid_range=expid_range, zbest_path=zbest_path,
+        zbest_select=zbest_select, objtype_mask=objtype_mask)
+    nsel = int(subset.sum())
+    logging.info('%s: selected %d/%d fibers', fname, nsel, len(subset))
+    if nsel == 0:
+        _write_empty(tab_ofname)
+        _write_empty(mod_ofname)
+        return 0
+
+    if templates is None:
+        templates = library.load_template_models(
+            config, {f'desi_{s}' for s in setups})
+
+    lsf_sigma0 = config.get('lsf_sigma0_angstrom') or {}
+    arms, goodmask = build_batch_arms(
+        waves, fluxes, ivars, masks, resolutions, subset, setups,
+        use_resolution_matrix=use_resolution_matrix,
+        lsf_sigma0_angstrom=lsf_sigma0)
+
+    idx = np.nonzero(subset)[0]
+    nf = len(idx)
+    parnames = templates[arms[0].setup].parnames
+
+    # ---- CCF initialization (or brute-force first guess) ----
+    start_params = np.zeros((nf, len(parnames)))
+    start_vel = np.zeros(nf)
+    start_vsini = np.zeros(nf)
+    any_vsini = False
+    if ccf_init:
+        for k in range(nf):
+            sds = [SpecData(a.setup, a.lam, a.flux[k],
+                            1.0 / np.sqrt(a.ivar[k]),
+                            badmask=a.badmask[k]) for a in arms]
+            try:
+                res = ccf_mod.fit(sds, config)
+                start_params[k] = [res['best_par'][p] for p in parnames]
+                start_vel[k] = res['best_vel']
+                if res['best_vsini'] is not None:
+                    start_vsini[k] = res['best_vsini']
+                    any_vsini = True
+            except Exception as exc:
+                logging.warning('CCF failed for fiber %d: %s', k, exc)
+                start_params[k] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
+    else:
+        guess = vel_fit.firstguess(
+            [SpecData(a.setup, a.lam, a.flux[0],
+                      1.0 / np.sqrt(a.ivar[0])) for a in arms],
+            config=config, options=options, templates=templates)
+        start_params[:] = [guess[p] for p in parnames]
+    vrad_ccf = start_vel.copy()
+
+    # ---- batched ML fit ----
+    fit_vsini = True  # DESI always models rotation (vsini >= 0)
+    bf = BatchedFitter(arms, templates, config, options=options,
+                       use_vsini=fit_vsini)
+    paramDict0 = dict(zip(parnames, start_params.mean(axis=0)))
+    paramDict0['vsini'] = 0.01
+    mapper = vel_fit.ParamMapper(
+        parnames, paramDict0, [],
+        vel_fit.VSiniMapper(config['max_vsini']), True)
+    x0 = np.zeros((nf, mapper.nvec))
+    x0[:, 0] = start_vel
+    x0[:, 1] = np.clip(start_vsini, 0, config['max_vsini'])
+    x0[:, 2:] = start_params
+    nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
+    vel_b, params_b, vsini_b = mapper.unpack_host(nmres['x'])
+    ref = bf.refine_velocities(vel_b, params_b, vsinis=vsini_b)
+    errs, covars, bad_hess = bf.hessian_errors(
+        ref['best_vel'], params_b, vsinis=vsini_b, parnames=parnames)
+    mods = bf.best_models(ref['best_vel'], params_b, vsinis=vsini_b)
+
+    # ---- assemble results ----
+    res = {}
+    res['VRAD'] = ref['best_vel']
+    res['VRAD_ERR'] = ref['vel_err']
+    res['VRAD_SKEW'] = ref['skewness']
+    res['VRAD_KURT'] = ref['kurtosis']
+    res['VSINI'] = vsini_b
+    name_map = dict(teff='TEFF', logg='LOGG', feh='FEH', alpha='ALPHAFE')
+    for i, p in enumerate(parnames):
+        res[name_map.get(p, p.upper())] = params_b[:, i]
+        res[name_map.get(p, p.upper()) + '_ERR'] = errs[:, i]
+    res['CHISQ_TOT'] = np.sum([mods['chisq'][a.name] for a in arms],
+                              axis=0)
+    res['CHISQ_C_TOT'] = np.sum([mods['cont_chisq'][a.name]
+                                 for a in arms], axis=0)
+    res['NPIX_TOT'] = np.sum([mods['npix'][a.name] for a in arms],
+                             axis=0).astype(np.float64)
+    for s, a in zip(setups, arms):
+        res['CHISQ_%s' % s.upper()] = mods['chisq'][a.name]
+        res['CHISQ_C_%s' % s.upper()] = mods['cont_chisq'][a.name]
+        res['SN_%s' % s.upper()] = sns[s][idx]
+    res['VRAD_CCF'] = vrad_ccf
+    res['BAD_HESSIAN'] = bad_hess
+    res['SUCCESS'] = nmres['converged'] & goodmask
+    res['RVS_WARN'] = get_rvs_warn_batch(res, config)
+    res['RVS_WARN'] |= np.where(~goodmask, bitmasks['BAD_SPECTRUM'], 0)
+    res['TARGETID'] = fibermap['TARGETID'][idx]
+    if 'EXPID' in fibermap:
+        res['EXPID'] = fibermap['EXPID'][idx]
+    for k, v in rr_info.items():
+        res[k] = np.asarray(v)[idx]
+
+    _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
+                   fibermap, idx, setups, config, fname)
+    logging.info('%s: fitted %d fibers in %.1f s', fname, nf,
+                 time.time() - t0)
+    return nf
+
+
+def _prim_header(config=None, cmdline=None):
+    cards = [('RVS_VER', __version__, 'rvspecfit_tpu version'),
+             ('RVS_DATE', time.strftime('%Y-%m-%dT%H:%M:%S'),
+              'processing time')]
+    if config is not None:
+        cards.append(('RVS_CONF', str(config.get('config_file_path', '')),
+                      'config path'))
+    if cmdline:
+        cards.append(('RVS_CMD', cmdline[:60], 'command line'))
+    return cards
+
+
+def _write_empty(fname):
+    fitsio.write(fname, [dict(kind='image', data=None,
+                              header=_prim_header())])
+
+
+def _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
+                   fibermap, idx, setups, config, src_fname):
+    # RVTAB
+    drop = {'BAD_HESSIAN'}
+    cols = []
+    for k, v in res.items():
+        if k in drop:
+            continue
+        v = np.asarray(v)
+        if v.dtype == object:
+            v = v.astype(str)
+        if v.dtype.kind == 'f' and k not in (
+                'CHISQ_TOT', 'CHISQ_C_TOT', 'NPIX_TOT', 'RR_Z') \
+                and not k.startswith('CHISQ'):
+            v = v.astype(np.float32)
+        cols.append((k, v))
+    # carry over a useful FIBERMAP subset
+    fm_keep = ['TARGETID', 'TARGET_RA', 'TARGET_DEC', 'REF_ID',
+               'REF_CAT', 'FIBER', 'DESI_TARGET', 'PMRA', 'PMDEC']
+    fm_cols = []
+    for k in fm_keep:
+        if k in fibermap:
+            fm_cols.append((k, np.asarray(fibermap[k])[idx]))
+    hdus = [dict(kind='image', data=None,
+                 header=_prim_header(config)),
+            dict(kind='table', data=cols, name='RVTAB'),
+            dict(kind='table', data=fm_cols, name='FIBERMAP')]
+    fitsio.write(tab_ofname, hdus)
+
+    # RVMOD: best-fit model vectors per arm
+    mhdus = [dict(kind='image', data=None, header=_prim_header(config))]
+    for s, a in zip(setups, arms):
+        mhdus.append(dict(kind='image', data=waves[s].astype(np.float64),
+                          name=f'{s.upper()}_WAVELENGTH'))
+        mhdus.append(dict(kind='image',
+                          data=mods['models'][a.name].astype(np.float32),
+                          name=f'{s.upper()}_MODEL'))
+    fitsio.write(mod_ofname, mhdus)
+
+
+def proc_desi_wrapper(*args, **kwargs):
+    """Crash isolation: log + continue (reference: desi_fit.py:1311)."""
+    throw = kwargs.pop('throw_exceptions', False)
+    try:
+        return proc_desi(*args, **kwargs)
+    except Exception:
+        crashfile = 'crash_%d_%d.log' % (os.getpid(), int(time.time()))
+        with open(crashfile, 'w') as fp:
+            fp.write('Args: %s %s\n' % (args, kwargs))
+            fp.write(traceback.format_exc())
+        logging.exception('Failed processing %s (crash log %s)',
+                          args[0] if args else '?', crashfile)
+        if throw:
+            raise
+        return None
+
+
+def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
+              output_mod_prefix=MODEL_PREFIX, config=None, options=None,
+              skipexisting=False, status_fname=None, **proc_kwargs):
+    """Process a sequence of files (reference: desi_fit.py:1392-1551)."""
+    os.makedirs(output_dir, exist_ok=True)
+    if status_fname:
+        update_process_status_file(status_fname, None, None, 0, 0,
+                                   start=True)
+    templates = None
+    for f in files:
+        t0 = time.time()
+        base = os.path.basename(f)
+        for pref in ('coadd-', 'spectra-'):
+            if base.startswith(pref):
+                base = base[len(pref):]
+        base = base.replace('.fits', '')
+        tab_ofname = os.path.join(output_dir,
+                                  f'{output_tab_prefix}-{base}.fits')
+        mod_ofname = os.path.join(output_dir,
+                                  f'{output_mod_prefix}-{base}.fits')
+        if skipexisting and os.path.exists(tab_ofname) \
+                and os.path.exists(mod_ofname):
+            logging.info('skipping existing %s', f)
+            if status_fname:
+                update_process_status_file(
+                    status_fname, f, PROC_STATUS_EXISTING, 0,
+                    time.time() - t0)
+            continue
+        if templates is None and config is not None:
+            setups = proc_kwargs.get('setups', ('b', 'r', 'z'))
+            try:
+                templates = library.load_template_models(
+                    config, {f'desi_{s}' for s in setups})
+            except Exception:
+                templates = None
+        nobj = proc_desi_wrapper(f, tab_ofname, mod_ofname, None, config,
+                                 options or {}, templates=templates,
+                                 **proc_kwargs)
+        if status_fname:
+            status = PROC_STATUS_SUCCESS if nobj is not None else \
+                PROC_STATUS_FAILURE
+            update_process_status_file(status_fname, f, status,
+                                       nobj or 0, time.time() - t0)
+    if hasattr(files, 'shutdown'):
+        files.shutdown()
+
+
+def main(args=None):
+    if args is None:
+        args = sys.argv[1:]
+    parser = argparse.ArgumentParser(description='Fit DESI spectra')
+    parser.add_argument('input_files', nargs='*', default=[])
+    parser.add_argument('--input_file_from', type=str, default=None)
+    parser.add_argument('--queue_file', action='store_true',
+                        default=False)
+    parser.add_argument('--output_dir', type=str, required=True)
+    parser.add_argument('--config', type=str, default=None)
+    parser.add_argument('--templ_lib', type=str, default=None)
+    parser.add_argument('--setups', type=str, default='b,r,z')
+    parser.add_argument('--minsn', type=float, default=-1e9)
+    parser.add_argument('--npoly', type=int, default=10)
+    parser.add_argument('--targetid', type=int, default=None)
+    parser.add_argument('--targetid_file_from', type=str, default=None)
+    parser.add_argument('--minexpid', type=int, default=None)
+    parser.add_argument('--maxexpid', type=int, default=None)
+    parser.add_argument('--zbest_select', action='store_true',
+                        default=False)
+    parser.add_argument('--objtype_mask', type=int, default=None,
+                        help='explicit DESI_TARGET bitmask (desitarget '
+                        'name decoding is not available)')
+    parser.add_argument('--no_ccf_continuum_normalize',
+                        dest='ccf_continuum_normalize',
+                        action='store_false', default=True)
+    parser.add_argument('--resolution_matrix', action='store_true',
+                        default=False)
+    parser.add_argument('--skipexisting', action='store_true',
+                        default=False)
+    parser.add_argument('--throw_exceptions', action='store_true',
+                        default=False)
+    parser.add_argument('--process_status_file', type=str, default=None)
+    parser.add_argument('--log', type=str, default=None)
+    parser.add_argument('--log_level', type=str, default='INFO')
+    parser.add_argument('--rank', type=int, default=None)
+    parser.add_argument('--world', type=int, default=None)
+    args = parser.parse_args(args)
+
+    logging.basicConfig(
+        filename=args.log, level=getattr(logging, args.log_level))
+
+    override = {}
+    if args.templ_lib:
+        override['template_lib'] = args.templ_lib
+    override['ccf_continuum_normalize'] = args.ccf_continuum_normalize
+    config = utils.read_config(args.config, override)
+
+    fit_targetid = None
+    if args.targetid is not None:
+        fit_targetid = np.array([args.targetid])
+    elif args.targetid_file_from:
+        fit_targetid = np.loadtxt(args.targetid_file_from,
+                                  dtype=np.int64, ndmin=1)
+    expid_range = None
+    if args.minexpid is not None or args.maxexpid is not None:
+        expid_range = (args.minexpid if args.minexpid is not None
+                       else -10**18,
+                       args.maxexpid if args.maxexpid is not None
+                       else 10**18)
+
+    if args.input_files:
+        files = utils.FileQueue(file_list=args.input_files)
+    elif args.input_file_from:
+        if args.world is not None or args.rank is not None:
+            with open(args.input_file_from) as fp:
+                lst = [ln.strip() for ln in fp if ln.strip()]
+            files = utils.ShardedFileQueue(lst, rank=args.rank,
+                                           world=args.world)
+        else:
+            files = utils.FileQueue(file_from=args.input_file_from,
+                                    queue=args.queue_file)
+    else:
+        parser.error('provide input files or --input_file_from')
+
+    try:
+        proc_many(files, args.output_dir, config=config,
+                  options={'npoly': args.npoly},
+                  skipexisting=args.skipexisting,
+                  status_fname=args.process_status_file,
+                  setups=tuple(args.setups.split(',')),
+                  minsn=args.minsn, fit_targetid=fit_targetid,
+                  expid_range=expid_range,
+                  zbest_select=args.zbest_select,
+                  objtype_mask=args.objtype_mask,
+                  use_resolution_matrix=args.resolution_matrix,
+                  throw_exceptions=args.throw_exceptions)
+    finally:
+        pass
+
+
+if __name__ == '__main__':
+    main()

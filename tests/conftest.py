@@ -82,3 +82,56 @@ def pipeline_library(tmp_path_factory):
                    '--setup', SETUP_NAME, '--lambda0', '4600',
                    '--lambda1', '5400', '--step', '1.0', '--every', '2'])
     return outdir
+
+
+DESI_ARMS = {'b': (4620.0, 4880.0), 'r': (4880.0, 5140.0),
+             'z': (5140.0, 5390.0)}
+
+
+@pytest.fixture(scope='session')
+def desi_library(tmp_path_factory):
+    """Small 3-setup (desi_b/r/z) template library built through the
+    full offline pipeline, for the DESI driver tests."""
+    from rvspecfit_tpu import simulation
+    from rvspecfit_tpu.io import fitsio
+    from rvspecfit_tpu.pipeline import (read_grid, make_interpol, make_nd,
+                                        make_ccf)
+
+    root = tmp_path_factory.mktemp('desi_lib')
+    specdir = root / 'grid' / 'specs'
+    os.makedirs(specdir)
+    lam = np.linspace(4500, 5500, 3000)
+    i = 0
+    for t in np.linspace(4200, 9800, 4):
+        for g in np.linspace(0.5, 5.0, 4):
+            for f in np.linspace(-2.0, 0.0, 3):
+                for a in np.linspace(0.0, 1.0, 2):
+                    sp = simulation.fake_spectrum(lam, t, g, f, a)
+                    fitsio.write(
+                        str(specdir / f'xx_{i:05d}.fits'),
+                        [dict(kind='image', data=sp,
+                              header=[('PHXTEFF', t, ''),
+                                      ('PHXLOGG', g, ''),
+                                      ('PHXM_H', f, ''),
+                                      ('PHXALPHA', a, '')])])
+                    i += 1
+    fitsio.write(str(root / 'grid' / 'wave.fits'),
+                 [dict(kind='image', data=lam)])
+    db = str(root / 'files.db')
+    outdir = str(root / 'templ_data')
+    read_grid.main(['--prefix', str(root / 'grid'), '--templdb', db,
+                    '--glob_mask', 'specs/*fits'])
+    for s, (l0, l1) in DESI_ARMS.items():
+        make_interpol.main([
+            '--setup', f'desi_{s}', '--lambda0', str(l0 - 10),
+            '--lambda1', str(l1 + 10), '--resol', '2000', '--step', '0.6',
+            '--templdb', db, '--templprefix', str(root / 'grid'),
+            '--wavefile', str(root / 'grid' / 'wave.fits'),
+            '--oprefix', outdir, '--float_bits', '64'])
+        make_nd.main(['--prefix', outdir, '--setup', f'desi_{s}',
+                      '--regulargrid'])
+        make_ccf.main(['--prefix', outdir, '--oprefix', outdir,
+                       '--setup', f'desi_{s}', '--lambda0', str(l0 - 5),
+                       '--lambda1', str(l1 + 5), '--step', '0.6',
+                       '--every', '2'])
+    return outdir
