@@ -16,30 +16,12 @@ def mark(s):
 jax.devices()
 _ = np.asarray(jnp.ones(4))
 mark('first fetch done')
-from rvspecfit_tpu.fit import neldermead as nm
-
-B, n = 500, 5
-rng = np.random.RandomState(0)
-x0 = jnp.asarray(rng.uniform(-2, 2, (B, n)), jnp.float32)
-
-
-def quad(x):
-    a = jnp.arange(1, n + 1, dtype=x.dtype)
-    return jnp.sum((x - a)**2, axis=-1) + 0.3 * x[..., 0] * x[..., 1]
-
-
-simplex = nm.build_simplex(x0, np.full(n, 0.5))
-t0 = time.time()
-res = nm.minimize_batch(jax.jit(quad), simplex, maxiter=2000)
-packed = np.asarray(res['fun'])
-mark(f'NM quad B=500 {time.time()-t0:.1f}s '
-     f'conv={np.asarray(res["converged"]).sum()}')
 
 from rvspecfit_tpu import simulation
 from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
-from rvspecfit_tpu.fit import vel_fit
 from rvspecfit_tpu.utils import freeze
 
+B = 500
 config = freeze(dict(min_vel=-1000, max_vel=1000, vel_step0=5,
                      max_vsini=500, min_vsini=1e-2, min_vel_step=0.2,
                      second_minimizer=False, template_lib=''))
@@ -50,39 +32,56 @@ arms = [BatchArm(k, lam, fl, iv) for k, (lam, fl, iv) in arms_data.items()]
 bf = BatchedFitter(arms, {k: tm for k in arms_data}, config,
                    options={'npoly': 10})
 mark('fitter built')
-par = np.tile([6000., 3., -1., .5], (B, 1))
+
+vels1 = jnp.asarray(np.zeros((B, 1)), jnp.float32)
+pars1 = jnp.asarray(np.tile([6000., 3., -1., .5], (B, 1, 1)), jnp.float32)
+vs1 = jnp.zeros((B, 1), jnp.float32)
+
+# 1. standalone single-trial likelihood
+r = bf._chisq_fibers(bf.arms, vels1, pars1, vs1)
+jax.block_until_ready(r)
 t0 = time.time()
-scan = bf.scan_velocities(np.arange(-1000., 1000., 5.), par)
-mark(f'scan c+r {time.time()-t0:.1f}s')
+for _ in range(5):
+    r = bf._chisq_fibers(bf.arms, vels1, pars1, vs1)
+jax.block_until_ready(r)
+mark(f'standalone lik (B,1) x5: {time.time()-t0:.2f}s')
+
+
+# 2. fori_loop around the likelihood
+def loop5(vels, pars, vs):
+    def body(i, acc):
+        return acc + bf._chisq_fibers.__wrapped__(
+            bf.arms, vels + i * 0.1, pars, vs)
+    return jax.lax.fori_loop(0, 5, body, jnp.zeros_like(vels))
+
+
+lj = jax.jit(loop5)
+r = lj(vels1, pars1, vs1)
+jax.block_until_ready(r)
 t0 = time.time()
-scan = bf.scan_velocities(np.arange(-1000., 1000., 5.), par)
-mark(f'scan warm {time.time()-t0:.1f}s')
-mapper = vel_fit.ParamMapper(
-    tm.parnames, dict(teff=6000., logg=3., feh=-1., alpha=.5), [], None,
-    False)
+r = lj(vels1, pars1, vs1)
+jax.block_until_ready(r)
+mark(f'fori_loop(5) lik: {time.time()-t0:.2f}s')
+
+
+# 3. while_loop around the likelihood
+def wloop5(vels, pars, vs):
+    def cond(state):
+        i, acc = state
+        return i < 5
+
+    def body(state):
+        i, acc = state
+        return i + 1, acc + bf._chisq_fibers.__wrapped__(
+            bf.arms, vels + i * 0.1, pars, vs)
+    return jax.lax.while_loop(cond, body,
+                              (jnp.asarray(0), jnp.zeros_like(vels)))[1]
+
+
+wj = jax.jit(wloop5)
+r = wj(vels1, pars1, vs1)
+jax.block_until_ready(r)
 t0 = time.time()
-r5 = bf.run_neldermead(mapper, scan['best_vel'], maxiter=5, maxrestart=1)
-mark(f'NM lik maxiter=5 {time.time()-t0:.1f}s')
-t0 = time.time()
-r50 = bf.run_neldermead(mapper, scan['best_vel'], maxiter=50,
-                        maxrestart=1)
-mark(f'NM lik maxiter=50 {time.time()-t0:.1f}s')
-t0 = time.time()
-r2k = bf.run_neldermead(mapper, scan['best_vel'], maxiter=2000,
-                        maxrestart=1)
-mark(f'NM lik maxiter=2000 {time.time()-t0:.1f}s '
-     f'conv={r2k["converged"].sum()}')
-vel_b, params_b, _ = mapper.unpack_host(r2k['x'])
-t0 = time.time()
-ref = bf.refine_velocities(vel_b, params_b)
-mark(f'refine c+r {time.time()-t0:.1f}s')
-t0 = time.time()
-ref = bf.refine_velocities(vel_b, params_b)
-mark(f'refine warm {time.time()-t0:.1f}s')
-t0 = time.time()
-errs, _, bad = bf.hessian_errors(ref['best_vel'], params_b,
-                                 parnames=tm.parnames)
-mark(f'hessian c+r {time.time()-t0:.1f}s')
-dv = ref['best_vel'] - truth['vel']
-mark(f'median|dv| {np.median(np.abs(dv)):.3f} km/s; '
-     f'within10 {(np.abs(dv) < 10).sum()}/{B}')
+r = wj(vels1, pars1, vs1)
+jax.block_until_ready(r)
+mark(f'while_loop(5) lik: {time.time()-t0:.2f}s')

@@ -1,0 +1,226 @@
+"""WEAVE batch-fitting pipeline (rvst_weave_fit).
+
+Equivalent of the reference rvs_weave_fit
+(reference: py/rvspecfit/weave/weave_fit.py): fits WEAVE red+blue arm
+files — wavelength grids derived from the WCS header keywords,
+telluric-band error inflation, target selection by TARGCAT program,
+fiber striping across workers — rebuilt around the batched TPU
+fitter: all selected fibers of a file are fitted simultaneously
+instead of looping per fiber.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from rvspecfit_tpu import utils
+from rvspecfit_tpu.io import fitsio
+from rvspecfit_tpu.fit import ccf as ccf_mod
+from rvspecfit_tpu.fit import vel_fit
+from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
+from rvspecfit_tpu.fit.spec_data import SpecData
+from rvspecfit_tpu.pipeline import library
+
+TELLURIC_BANDS = [(6850, 7000), (8130, 8350), (8940, 9240),
+                  (9250, 9545), (9550, 10000)]
+DEFAULT_PROGRAMS = ('GA_LRhighlat', 'GA_LRdisc')
+
+
+def wcs_wavelengths(header, npix):
+    """Linear-WCS wavelength grid in angstrom
+    (reference: weave_fit.py:170-172, without astropy.wcs)."""
+    crval = float(header.get('CRVAL1', 0.0))
+    cd = header.get('CD1_1', header.get('CDELT1', 1.0))
+    crpix = float(header.get('CRPIX1', 1.0))
+    unit = str(header.get('CUNIT1', 'm')).strip().lower()
+    scale = {'m': 1e10, 'angstrom': 1.0, 'nm': 10.0}.get(unit, 1e10)
+    pix = np.arange(npix)
+    return (crval + (pix + 1 - crpix) * float(cd)) * scale
+
+
+def valid_file(fp):
+    names = {str(n).upper() for n in fp.names()}
+    missing = {'RED_DATA', 'RED_IVAR', 'FIBTABLE'} - names
+    if missing:
+        logging.error('Missing extensions: %s', sorted(missing))
+        return False
+    return True
+
+
+def proc_weave(fnames, config, threadid=0, nthreads=1,
+               programs=DEFAULT_PROGRAMS, options=None, templates=None):
+    """Fit one WEAVE red(+blue) file pair; returns a dict of columns
+    (None when no fibers are selected)."""
+    options = options or {'npoly': 15}
+    if isinstance(fnames, str):
+        fnames = fnames.split(',')
+    setups = []
+    fps = {}
+    for f in fnames:
+        fp = fitsio.read(f)
+        cam = str(fp[0].header.get('CAMERA', '')).replace('WEAVE', '')
+        s = {'RED': 'r', 'BLUE': 'b'}.get(cam.strip().upper())
+        if s is None:
+            raise RuntimeError(f'{f}: unknown CAMERA {cam!r}')
+        fps[s] = fp
+        setups.append(s)
+    setups = sorted(setups)  # b before r
+
+    fp0 = fps[setups[0]]
+    tab = None
+    for s in setups:
+        if 'FIBTABLE' in fps[s]:
+            tab = fps[s]['FIBTABLE'].data
+            hdr0 = fps[s][0].header
+            break
+    if tab is None:
+        raise RuntimeError('No FIBTABLE extension found')
+    targetid = np.char.replace(tab['TARGID'].astype(str), '"', '')
+    brick = str(hdr0.get('OBID', 'unknown')).replace('.', '').replace(
+        '/', '').replace('_', '')
+
+    targcat = np.char.strip(tab['TARGCAT'].astype(str))
+    sel = np.zeros(len(targcat), dtype=bool)
+    for p in programs:
+        sel |= targcat == p
+    xids = np.nonzero(sel)[0]
+    if len(xids) > 0 and nthreads > 1:
+        stripe = np.linspace(0, nthreads, len(xids), False).astype(int)
+        xids = xids[stripe == threadid]
+    if len(xids) == 0:
+        return None
+
+    arms = []
+    sns = {}
+    for s in setups:
+        cam = {'b': 'BLUE', 'r': 'RED'}[s]
+        flux = np.atleast_2d(fps[s][f'{cam}_DATA'].data)[xids].astype(
+            np.float64)
+        ivar = np.atleast_2d(fps[s][f'{cam}_IVAR'].data)[xids].astype(
+            np.float64)
+        wave = wcs_wavelengths(fps[s][f'{cam}_DATA'].header,
+                               flux.shape[1])
+        telluric = np.zeros(len(wave), bool)
+        for lo, hi in TELLURIC_BANDS:
+            telluric |= (wave >= lo) & (wave < hi)
+        # inflate telluric-band errors (reference: weave_fit.py:173-181)
+        ivar[:, telluric] = 1.0 / 100.0 / np.maximum(
+            flux[:, telluric], 1.0)**2
+        badmask = ivar <= 0
+        with np.errstate(divide='ignore'):
+            esp = 1.0 / np.sqrt(np.where(badmask, 1, ivar))
+        sns[s] = np.nanmedian(np.where(badmask, np.nan, flux / esp),
+                              axis=1)
+        arms.append(BatchArm(f'weave_{s}', wave, flux, ivar,
+                             badmask=badmask, setup=f'weave_{s}'))
+
+    if templates is None:
+        templates = library.load_template_models(
+            config, {f'weave_{s}' for s in setups})
+    parnames = templates[arms[0].setup].parnames
+
+    nf = len(xids)
+    start_params = np.zeros((nf, len(parnames)))
+    start_vel = np.zeros(nf)
+    start_vsini = np.zeros(nf)
+    for k in range(nf):
+        sds = [SpecData(a.setup, a.lam, a.flux[k],
+                        1.0 / np.sqrt(a.ivar[k]), badmask=a.badmask[k])
+               for a in arms]
+        try:
+            res = ccf_mod.fit(sds, config)
+            start_params[k] = [res['best_par'][p] for p in parnames]
+            start_vel[k] = res['best_vel']
+            if res['best_vsini'] is not None:
+                start_vsini[k] = res['best_vsini']
+        except Exception as exc:
+            logging.warning('CCF failed for fiber %d: %s', k, exc)
+            start_params[k] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
+
+    bf = BatchedFitter(arms, templates, config, options=options,
+                       use_vsini=True)
+    paramDict0 = dict(zip(parnames, start_params.mean(axis=0)))
+    paramDict0['vsini'] = 0.01
+    mapper = vel_fit.ParamMapper(
+        parnames, paramDict0, [],
+        vel_fit.VSiniMapper(config['max_vsini']), True)
+    x0 = np.zeros((nf, mapper.nvec))
+    x0[:, 0] = start_vel
+    x0[:, 1] = np.clip(start_vsini, 0, config['max_vsini'])
+    x0[:, 2:] = start_params
+    nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
+    vel_b, params_b, vsini_b = mapper.unpack_host(nmres['x'])
+    ref = bf.refine_velocities(vel_b, params_b, vsinis=vsini_b)
+    errs, _, bad_hess = bf.hessian_errors(
+        ref['best_vel'], params_b, vsinis=vsini_b, parnames=parnames)
+    mods = bf.best_models(ref['best_vel'], params_b, vsinis=vsini_b)
+
+    out = dict(brickname=np.full(nf, brick),
+               target_id=targetid[xids],
+               vrad=ref['best_vel'], vrad_err=ref['vel_err'],
+               vsini=vsini_b)
+    for i, p in enumerate(parnames):
+        out[p] = params_b[:, i]
+        out[p + '_err'] = errs[:, i]
+    out['chisq_tot'] = np.sum([mods['chisq'][a.name] for a in arms],
+                              axis=0)
+    for s, a in zip(setups, arms):
+        out['chisq_%s' % s] = mods['chisq'][a.name]
+        out['chisq_c_%s' % s] = mods['cont_chisq'][a.name]
+        out['sn_%s' % s] = sns[s]
+    return out
+
+
+def proc_many(file_groups, oprefix, config, threadid=0, nthreads=1,
+              options=None):
+    """Process file groups; write one output table per group
+    (reference: weave_fit.py:263-321)."""
+    os.makedirs(oprefix, exist_ok=True)
+    for grp in file_groups:
+        t0 = time.time()
+        try:
+            out = proc_weave(grp, config, threadid=threadid,
+                             nthreads=nthreads, options=options)
+        except Exception:
+            logging.exception('failed processing %s', grp)
+            continue
+        if out is None:
+            logging.info('%s: no selected fibers', grp)
+            continue
+        base = os.path.basename(str(grp).split(',')[0]).replace(
+            '.fits', '')
+        ofname = os.path.join(oprefix, f'outtab_{base}_{threadid}.fits')
+        fitsio.write(ofname, [dict(kind='table', name='WEAVE_RV',
+                                   data=list(out.items()))])
+        logging.info('%s -> %s (%.1f s)', grp, ofname, time.time() - t0)
+
+
+def main(args=None):
+    if args is None:
+        args = sys.argv[1:]
+    parser = argparse.ArgumentParser(description='Fit WEAVE spectra')
+    parser.add_argument('input_files', nargs='+',
+                        help='comma-separated red,blue file groups')
+    parser.add_argument('--oprefix', type=str, default='outputs/')
+    parser.add_argument('--config', type=str, default=None)
+    parser.add_argument('--templ_lib', type=str, default=None)
+    parser.add_argument('--nthreads', type=int, default=1)
+    parser.add_argument('--threadid', type=int, default=0)
+    parser.add_argument('--npoly', type=int, default=15)
+    args = parser.parse_args(args)
+    override = {}
+    if args.templ_lib:
+        override['template_lib'] = args.templ_lib
+    config = utils.read_config(args.config, override)
+    proc_many(args.input_files, args.oprefix, config,
+              threadid=args.threadid, nthreads=args.nthreads,
+              options={'npoly': args.npoly})
+
+
+if __name__ == '__main__':
+    main()
