@@ -27,6 +27,8 @@ import numpy as np
 
 NFIBERS = 500
 NPIX_ARM = 1024
+# compile-once tile size for the fiber axis (see BatchedFitter)
+MICROBATCH = 125
 BASELINE_FIBERS_PER_SEC = 100.0 / 60.0
 
 
@@ -86,7 +88,8 @@ def main():
                                          parnames=tm.parnames)
         return ref, params_b, errs
 
-    bf = BatchedFitter(arms, templates, config, options={'npoly': 10})
+    bf = BatchedFitter(arms, templates, config, options={'npoly': 10},
+                       microbatch=MICROBATCH)
     t0 = time.time()
     pipeline(bf)
     log(f'warm-up (incl. compile): {time.time() - t0:.1f} s')

@@ -111,7 +111,15 @@ class BatchedFitter:
     """Fit a batch of fibers sharing arm wavelength grids."""
 
     def __init__(self, arms, templates, config, options=None,
-                 use_vsini=False, dtype=None, solve_dtype=None):
+                 use_vsini=False, dtype=None, solve_dtype=None,
+                 microbatch=None):
+        """``microbatch``: process fibers through fixed-size tiles of
+        this many instances.  Every jitted program then compiles once
+        at the tile shape and is reused for any exposure size — on
+        remote-compile TPU backends, compile time grows steeply with
+        the batch dimension, so tiling turns a minutes-long (or
+        crashing) compile into one modest compile plus a few extra
+        dispatches."""
         options = options or {}
         self.npoly = options.get('npoly') or 5
         self.rbf = options.get('rbf_continuum', True)
@@ -120,6 +128,7 @@ class BatchedFitter:
         self.solve_dtype = solve_dtype
         self.batch_arms = list(arms)
         self.nfibers = arms[0].nfibers
+        self.microbatch = microbatch
         if dtype is None:
             dtype = jnp.zeros(0).dtype
         self.dtype = dtype
@@ -216,6 +225,60 @@ class BatchedFitter:
 
         self._refine_fibers = None  # built lazily (needs static grid)
 
+    # ----------------------- micro-batching -----------------------
+    def _mb_ranges(self):
+        mb = self.microbatch or self.nfibers
+        return [(lo, min(lo + mb, self.nfibers))
+                for lo in range(0, self.nfibers, mb)], mb
+
+    @staticmethod
+    def _pad_slice(x, lo, hi, mb):
+        y = x[lo:hi]
+        pad = mb - (hi - lo)
+        if pad:
+            reps = jnp.repeat(y[-1:], pad, axis=0) if hasattr(y, 'shape') \
+                else None
+            y = jnp.concatenate([jnp.asarray(y), reps], axis=0)
+        return y
+
+    def _slice_arms(self, lo, hi, mb):
+        out = []
+        for arm in self.arms:
+            band = arm.band
+            if band is not None:
+                band = BandedMatrix(band.offsets,
+                                    self._pad_slice(band.bands, lo, hi,
+                                                    mb))
+            out.append(ArmState(
+                lam=arm.lam,
+                dvec=self._pad_slice(arm.dvec, lo, hi, mb),
+                espec_inv=self._pad_slice(arm.espec_inv, lo, hi, mb),
+                polys=arm.polys,
+                log_espec_sum=self._pad_slice(arm.log_espec_sum, lo, hi,
+                                              mb),
+                band=band, name=arm.name, setup=arm.setup))
+        return out
+
+    def _run_mb(self, fn, *per_fiber_args):
+        """Run fn(arms, *args) over fiber tiles; concatenate outputs.
+
+        With no microbatch (or a single full tile) this is a direct
+        call.  Outputs may be arbitrary pytrees of arrays whose
+        leading axis is the fiber axis.
+        """
+        ranges, mb = self._mb_ranges()
+        if len(ranges) == 1 and ranges[0][1] - ranges[0][0] == mb:
+            return fn(self.arms, *per_fiber_args)
+        parts = []
+        for lo, hi in ranges:
+            args = [self._pad_slice(jnp.asarray(a), lo, hi, mb)
+                    for a in per_fiber_args]
+            out = fn(self._slice_arms(lo, hi, mb), *args)
+            parts.append(jax.tree_util.tree_map(
+                lambda x: x[:hi - lo], out))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
     # -------------------------------------------------------------
     def chisq(self, vels, params, vsinis=None):
         """(B, T) velocities x (B, T, ndim) params -> (B, T) chi2."""
@@ -225,7 +288,7 @@ class BatchedFitter:
             vsinis = jnp.zeros(vels.shape, dtype=self.dtype)
         else:
             vsinis = jnp.asarray(vsinis, dtype=self.dtype)
-        return self._chisq_fibers(self.arms, vels, params, vsinis)
+        return self._run_mb(self._chisq_fibers, vels, params, vsinis)
 
     def scan_chisq(self, vel_grids, params0, vsini0=None, vchunk=128):
         """(B, V) per-fiber velocity grids x (B, ndim) params -> (B, V).
@@ -245,8 +308,8 @@ class BatchedFitter:
             pad = vchunk - cur.shape[1]
             if pad and i > 0:
                 cur = np.pad(cur, ((0, 0), (0, pad)), mode='edge')
-            outs.append(np.asarray(self._scan_fibers(
-                self.arms, jnp.asarray(cur, self.dtype), params,
+            outs.append(np.asarray(self._run_mb(
+                self._scan_fibers, jnp.asarray(cur, self.dtype), params,
                 vs))[:, :min(vchunk, v - i)])
         return np.concatenate(outs, axis=1)
 
@@ -259,8 +322,8 @@ class BatchedFitter:
         """
         b = self.nfibers
         grids = np.tile(np.asarray(vel_grid, np.float64), (b, 1))
-        packed = np.asarray(self._scan_stats_fibers(
-            self.arms, jnp.asarray(grids, self.dtype),
+        packed = np.asarray(self._run_mb(
+            self._scan_stats_fibers, jnp.asarray(grids, self.dtype),
             jnp.ones(grids.shape, bool),
             jnp.asarray(params0, self.dtype),
             jnp.zeros(b, self.dtype) if vsini0 is None else
@@ -338,18 +401,24 @@ class BatchedFitter:
         simplex = nm.build_simplex(jnp.asarray(x0, self.dtype),
                                    mapper.scales().astype(np.float64),
                                    seed=vf.SIMPLEX_SEED)
-        for it in range(maxrestart):
-            res = nm.minimize_batch(objective, simplex, fatol=fatol,
-                                    xatol=xatol, maxiter=maxiter)
-            # ONE packed fetch per restart round (x | fun | converged)
-            packed = np.asarray(jnp.concatenate(
+        def nm_fn(arms_slice, simplex_tile):
+            res = nm.minimize_batch(objective, simplex_tile, fatol=fatol,
+                                    xatol=xatol, maxiter=maxiter,
+                                    fun_args=(arms_slice,))
+            packed = jnp.concatenate(
                 [res['x'], res['fun'][:, None],
                  res['converged'][:, None].astype(res['x'].dtype)],
-                axis=1))
+                axis=1)
+            return packed, res['final_simplex']
+
+        for it in range(maxrestart):
+            # ONE packed fetch per restart round (x | fun | converged)
+            packed_d, final_simplex = self._run_mb(nm_fn, simplex)
+            packed = np.asarray(packed_d)
             conv = packed[:, -1] > 0.5
             if conv.all() or it == maxrestart - 1:
                 break
-            simplex = res['final_simplex']
+            simplex = final_simplex
         return dict(x=packed[:, :-2], fun=packed[:, -2], converged=conv)
 
     def _make_objective(self, mapper, priors=None):
@@ -362,8 +431,9 @@ class BatchedFitter:
                     mu, sig = priors[pname]
                     prior_rows.append((i, float(mu), float(sig)))
 
-        def objective(x):
-            # x: (B, K, nvec) -> (B, K)
+        def objective(x, arms):
+            # x: (B, K, nvec) -> (B, K); arms passed as traced args so
+            # one compiled program serves every fiber tile
             b, k, nvec = x.shape
             vel, params, vsini, penalty = mapper.unpack(
                 x.reshape(b * k, nvec))
@@ -371,7 +441,8 @@ class BatchedFitter:
             params = params.reshape(b, k, -1)
             vsini = vsini.reshape(b, k)
             penalty = penalty.reshape(b, k)
-            chis = self._chisq_fibers(self.arms, vel, params, vsini)
+            chis = self._chisq_fibers.__wrapped__(arms, vel, params,
+                                                  vsini)
             for i, mu, sig in prior_rows:
                 chis = chis + ((params[:, :, i] - mu) / sig)**2
             chis = chis + penalty
@@ -477,9 +548,9 @@ class BatchedFitter:
             self._objective_cache[key] = fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)
-        packed = np.asarray(fn(self.arms,
-                               jnp.asarray(best_vel, self.dtype),
-                               jnp.asarray(params, self.dtype), vs))
+        packed = np.asarray(self._run_mb(
+            fn, jnp.asarray(best_vel, self.dtype),
+            jnp.asarray(params, self.dtype), vs))
         return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
                     best_chi=packed[:, 2], skewness=packed[:, 3],
                     kurtosis=packed[:, 4])
@@ -539,8 +610,8 @@ class BatchedFitter:
             self._objective_cache[key] = fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)
-        flat = fn(self.arms, jnp.asarray(best_vel, self.dtype),
-                  jnp.asarray(params, self.dtype), vs)
+        flat = self._run_mb(fn, jnp.asarray(best_vel, self.dtype),
+                            jnp.asarray(params, self.dtype), vs)
         flat = [np.asarray(x) for x in flat]
 
         ret = dict(models={}, raw_models={}, cont_models={},
@@ -596,8 +667,8 @@ class BatchedFitter:
             self._objective_cache[hkey] = hess_fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)
-        hessians = np.asarray(hess_fn(
-            self.arms, jnp.asarray(best_vel, self.dtype),
+        hessians = np.asarray(self._run_mb(
+            hess_fn, jnp.asarray(best_vel, self.dtype),
             jnp.asarray(params, self.dtype), vs), np.float64)
         errs = np.zeros((b, ndim))
         covars = np.zeros((b, ndim, ndim))

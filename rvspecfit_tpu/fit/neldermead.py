@@ -37,13 +37,18 @@ def _sorted_simplex(simplex, fvals):
 
 
 def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
-                   maxiter=2000, jit=True):
+                   maxiter=2000, jit=True, fun_args=()):
     """Minimize ``fun`` over a batch of simplexes.
 
     With ``jit=True`` (default) the entire optimization — including
     the initial simplex evaluation and the while_loop — compiles to a
     single XLA program, which matters on remote-compile backends
     where every distinct dispatched program pays a large latency.
+
+    ``fun_args``: extra (traced) arguments forwarded to
+    ``fun(x, *fun_args)`` — per-instance data passed this way keeps
+    one compiled program across data tiles instead of a fresh closure
+    (and compile) per tile.
 
     Parameters
     ----------
@@ -73,14 +78,14 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     else:
         core = partial(_minimize_core, fun, fatol=fatol, xatol=xatol,
                        maxiter=maxiter)
-    simplex, fvals, nit, done = core(simplex)
+    simplex, fvals, nit, done = core(simplex, *fun_args)
     return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
                 nit=nit, final_simplex=simplex)
 
 
-def _minimize_core(fun, simplex, fatol, xatol, maxiter):
+def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
     b, np1, n = simplex.shape
-    fvals = fun(simplex)
+    fvals = fun(simplex, *fun_args)
     simplex, fvals = _sorted_simplex(simplex, fvals)
 
     alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
@@ -96,7 +101,7 @@ def _minimize_core(fun, simplex, fatol, xatol, maxiter):
         centroid = jnp.mean(simplex[:, :-1, :], axis=1)          # (B, n)
         worst = simplex[:, -1, :]
         xr = centroid + alpha * (centroid - worst)
-        fr = fun(xr[:, None, :])[:, 0]
+        fr = fun(xr[:, None, :], *fun_args)[:, 0]
 
         f_best = fvals[:, 0]
         f_second = fvals[:, -2]
@@ -112,7 +117,7 @@ def _minimize_core(fun, simplex, fatol, xatol, maxiter):
         xc_in = centroid - rho * (centroid - worst)
         x2 = jnp.where(expand[:, None], xe,
                        jnp.where(contract_in[:, None], xc_in, xc_out))
-        f2 = fun(x2[:, None, :])[:, 0]
+        f2 = fun(x2[:, None, :], *fun_args)[:, 0]
 
         # accept logic per scipy:
         #  - fr < f_best: take min(fr, fe) point
@@ -136,7 +141,7 @@ def _minimize_core(fun, simplex, fatol, xatol, maxiter):
         def do_shrink(args):
             s, f = args
             shrunk = s[:, :1, :] + sigma * (s - s[:, :1, :])
-            f_shr = fun(shrunk)
+            f_shr = fun(shrunk, *fun_args)
             s2 = jnp.where(shrink[:, None, None], shrunk, s)
             f2_ = jnp.where(shrink[:, None], f_shr, f)
             return s2, f2_
