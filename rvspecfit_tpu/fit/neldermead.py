@@ -84,32 +84,53 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
 
 
 def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
+    """Unsorted-simplex NM: best/worst rows are selected with one-hot
+    contractions instead of argsort + gather/scatter.  Mathematically
+    identical to the sorted formulation (up to tie-breaking); the
+    einsum selections compile and run far better on TPUs than
+    per-instance sorts of tiny rows (and avoid a remote-compiler
+    failure observed with the argsort formulation)."""
     b, np1, n = simplex.shape
     fvals = fun(simplex, *fun_args)
-    simplex, fvals = _sorted_simplex(simplex, fvals)
 
     alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+    big = jnp.asarray(jnp.finfo(simplex.dtype).max / 4, simplex.dtype)
+
+    def onehot(idx):
+        return jax.nn.one_hot(idx, np1, dtype=simplex.dtype)
+
+    def pick_row(oh, s):
+        return jnp.einsum('bi,bin->bn', oh, s)
+
+    def stats(simplex, fvals):
+        fsafe = jnp.where(jnp.isfinite(fvals), fvals, big)
+        iw = jnp.argmax(fsafe, axis=1)
+        ohw = onehot(iw)
+        f_worst = jnp.sum(ohw * fvals, axis=1)
+        f_second = jnp.max(jnp.where(ohw > 0, -big, fsafe), axis=1)
+        ib = jnp.argmin(fsafe, axis=1)
+        ohb = onehot(ib)
+        f_best = jnp.sum(ohb * fvals, axis=1)
+        return ohw, ohb, f_worst, f_second, f_best
 
     def converged_mask(simplex, fvals):
-        fspread = jnp.max(jnp.abs(fvals[:, 1:] - fvals[:, :1]), axis=1)
-        xspread = jnp.max(jnp.abs(simplex[:, 1:, :] - simplex[:, :1, :]),
+        ohw, ohb, f_worst, f_second, f_best = stats(simplex, fvals)
+        best = pick_row(ohb, simplex)
+        fspread = jnp.max(jnp.abs(fvals - f_best[:, None]), axis=1)
+        xspread = jnp.max(jnp.abs(simplex - best[:, None, :]),
                           axis=(1, 2))
         return (fspread <= fatol) & (xspread <= xatol)
 
     def body(state):
         simplex, fvals, it, done = state
-        centroid = jnp.mean(simplex[:, :-1, :], axis=1)          # (B, n)
-        worst = simplex[:, -1, :]
+        ohw, ohb, f_worst, f_second, f_best = stats(simplex, fvals)
+        worst = pick_row(ohw, simplex)
+        centroid = (jnp.sum(simplex, axis=1) - worst) / n
+
         xr = centroid + alpha * (centroid - worst)
         fr = fun(xr[:, None, :], *fun_args)[:, 0]
 
-        f_best = fvals[:, 0]
-        f_second = fvals[:, -2]
-        f_worst = fvals[:, -1]
-
         expand = fr < f_best
-        # contraction branch: outside if f_second <= fr < f_worst,
-        # inside if fr >= f_worst
         contract_out = (fr >= f_second) & (fr < f_worst)
         contract_in = fr >= f_worst
         xe = centroid + gamma * (xr - centroid)
@@ -133,14 +154,15 @@ def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
 
         new_point = jnp.where(accept_2[:, None], x2, xr)
         new_f = jnp.where(accept_2, f2, fr)
-        simplex_upd = simplex.at[:, -1, :].set(
-            jnp.where(shrink[:, None], simplex[:, -1, :], new_point))
-        fvals_upd = fvals.at[:, -1].set(
-            jnp.where(shrink, fvals[:, -1], new_f))
+        replace = (~shrink)[:, None] * ohw               # (B, n+1)
+        simplex_upd = simplex * (1 - replace)[:, :, None] \
+            + replace[:, :, None] * new_point[:, None, :]
+        fvals_upd = fvals * (1 - replace) + replace * new_f[:, None]
 
         def do_shrink(args):
             s, f = args
-            shrunk = s[:, :1, :] + sigma * (s - s[:, :1, :])
+            best = pick_row(ohb, s)[:, None, :]
+            shrunk = best + sigma * (s - best)
             f_shr = fun(shrunk, *fun_args)
             s2 = jnp.where(shrink[:, None, None], shrunk, s)
             f2_ = jnp.where(shrink[:, None], f_shr, f)
@@ -153,7 +175,6 @@ def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
         # freeze converged instances
         simplex_new = jnp.where(done[:, None, None], simplex, simplex_upd)
         fvals_new = jnp.where(done[:, None], fvals, fvals_upd)
-        simplex_new, fvals_new = _sorted_simplex(simplex_new, fvals_new)
         done_new = done | converged_mask(simplex_new, fvals_new)
         return simplex_new, fvals_new, it + 1, done_new
 
@@ -162,8 +183,13 @@ def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
         return (it < maxiter) & ~jnp.all(done)
 
     done0 = converged_mask(simplex, fvals)
-    return jax.lax.while_loop(
+    simplex, fvals, nit, done = jax.lax.while_loop(
         cond, body, (simplex, fvals, jnp.asarray(0), done0))
+    # order the output so row 0 is the best vertex
+    order = jnp.argsort(fvals, axis=-1)
+    fvals = jnp.take_along_axis(fvals, order, axis=-1)
+    simplex = jnp.take_along_axis(simplex, order[..., None], axis=-2)
+    return simplex, fvals, nit, done
 
 
 def build_simplex(x0, scales, seed=20260816):
