@@ -125,20 +125,35 @@ def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
         simplex, fvals, it, done = state
         ohw, ohb, f_worst, f_second, f_best = stats(simplex, fvals)
         worst = pick_row(ohw, simplex)
+        best = pick_row(ohb, simplex)
         centroid = (jnp.sum(simplex, axis=1) - worst) / n
 
+        # Every candidate of the iteration — reflection, expansion,
+        # both contractions AND the shrunk simplex — depends only on
+        # the current simplex, so everything is evaluated in ONE
+        # batched call: a single objective call site in the loop body
+        # keeps the compiled program small (remote TPU compilers choke
+        # on the objective inlined 3-4 times) and turns the iteration
+        # into pure arithmetic selection.
         xr = centroid + alpha * (centroid - worst)
-        fr = fun(xr[:, None, :], *fun_args)[:, 0]
+        xe = centroid + gamma * (xr - centroid)
+        xc_out = centroid + rho * (xr - centroid)
+        xc_in = centroid - rho * (centroid - worst)
+        shrunk = best[:, None, :] + sigma * (simplex - best[:, None, :])
+        cand = jnp.concatenate(
+            [xr[:, None, :], xe[:, None, :], xc_out[:, None, :],
+             xc_in[:, None, :], shrunk], axis=1)        # (B, 4+n+1, n)
+        fcand = fun(cand, *fun_args)                    # (B, 4+n+1)
+        fr, fe, fco, fci = fcand[:, 0], fcand[:, 1], fcand[:, 2], \
+            fcand[:, 3]
+        f_shr = fcand[:, 4:]
 
         expand = fr < f_best
         contract_out = (fr >= f_second) & (fr < f_worst)
         contract_in = fr >= f_worst
-        xe = centroid + gamma * (xr - centroid)
-        xc_out = centroid + rho * (xr - centroid)
-        xc_in = centroid - rho * (centroid - worst)
         x2 = jnp.where(expand[:, None], xe,
                        jnp.where(contract_in[:, None], xc_in, xc_out))
-        f2 = fun(x2[:, None, :], *fun_args)[:, 0]
+        f2 = jnp.where(expand, fe, jnp.where(contract_in, fci, fco))
 
         # accept logic per scipy:
         #  - fr < f_best: take min(fr, fe) point
@@ -158,19 +173,9 @@ def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
         simplex_upd = simplex * (1 - replace)[:, :, None] \
             + replace[:, :, None] * new_point[:, None, :]
         fvals_upd = fvals * (1 - replace) + replace * new_f[:, None]
-
-        def do_shrink(args):
-            s, f = args
-            best = pick_row(ohb, s)[:, None, :]
-            shrunk = best + sigma * (s - best)
-            f_shr = fun(shrunk, *fun_args)
-            s2 = jnp.where(shrink[:, None, None], shrunk, s)
-            f2_ = jnp.where(shrink[:, None], f_shr, f)
-            return s2, f2_
-
-        simplex_upd, fvals_upd = jax.lax.cond(
-            jnp.any(shrink & ~done), do_shrink, lambda a: a,
-            (simplex_upd, fvals_upd))
+        simplex_upd = jnp.where(shrink[:, None, None], shrunk,
+                                simplex_upd)
+        fvals_upd = jnp.where(shrink[:, None], f_shr, fvals_upd)
 
         # freeze converged instances
         simplex_new = jnp.where(done[:, None, None], simplex, simplex_upd)
