@@ -480,11 +480,45 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     for k, v in rr_info.items():
         res[k] = np.asarray(v)[idx]
 
+    if doplot and fig_prefix:
+        for k in range(nf):
+            title = ('logg=%.1f teff=%.0f feh=%.1f alpha=%.1f '
+                     'V=%.1f+/-%.1f' % (
+                         res['LOGG'][k], res['TEFF'][k], res['FEH'][k],
+                         res['ALPHAFE'][k], res['VRAD'][k],
+                         res['VRAD_ERR'][k]))
+            try:
+                make_plot([a.lam for a in arms],
+                          [a.flux[k] for a in arms],
+                          [mods['models'][a.name][k] for a in arms],
+                          title, f'{fig_prefix}_{res["TARGETID"][k]}.png')
+            except Exception as exc:
+                logging.warning('plotting failed: %s', exc)
+
     _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
                    fibermap, idx, setups, config, fname)
     logging.info('%s: fitted %d fibers in %.1f s', fname, nf,
                  time.time() - t0)
     return nf
+
+
+def make_plot(lam_list, flux_list, model_list, title, fig_fname):
+    """Diagnostic plot of data + best-fit models per arm
+    (reference: desi_fit.py:159-222)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    plt.figure(figsize=(10, 4), dpi=100)
+    for lam, fl, mo in zip(lam_list, flux_list, model_list):
+        plt.plot(lam, fl, 'k-', lw=0.5)
+        plt.plot(lam, mo, 'r-', lw=0.8)
+    plt.title(title, fontsize=8)
+    plt.xlabel('Wavelength [A]')
+    plt.tight_layout()
+    try:
+        plt.savefig(fig_fname)
+    finally:
+        plt.close()
 
 
 def _prim_header(config=None, cmdline=None):
@@ -596,9 +630,20 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                     config, {f'desi_{s}' for s in setups})
             except Exception:
                 templates = None
-        nobj = proc_desi_wrapper(f, tab_ofname, mod_ofname, None, config,
-                                 options or {}, templates=templates,
-                                 **proc_kwargs)
+        kw = dict(proc_kwargs)
+        if kw.pop('zbest_from_coadd', False):
+            zb = os.path.join(os.path.dirname(f),
+                              os.path.basename(f).replace(
+                                  'coadd-', 'redrock-'))
+            if os.path.exists(zb):
+                kw['zbest_path'] = zb
+        fig_prefix = None
+        if kw.pop('doplot_figs', False):
+            fig_prefix = os.path.join(output_dir, 'fig-' + base)
+            kw['doplot'] = True
+        nobj = proc_desi_wrapper(f, tab_ofname, mod_ofname, fig_prefix,
+                                 config, options or {},
+                                 templates=templates, **kw)
         if status_fname:
             status = PROC_STATUS_SUCCESS if nobj is not None else \
                 PROC_STATUS_FAILURE
@@ -627,7 +672,10 @@ def main(args=None):
     parser.add_argument('--minexpid', type=int, default=None)
     parser.add_argument('--maxexpid', type=int, default=None)
     parser.add_argument('--zbest_select', action='store_true',
-                        default=False)
+                        default=False,
+                        help='select STAR-like objects using the '
+                        'redrock file next to the coadd')
+    parser.add_argument('--doplot', action='store_true', default=False)
     parser.add_argument('--objtype_mask', type=int, default=None,
                         help='explicit DESI_TARGET bitmask (desitarget '
                         'name decoding is not available)')
@@ -692,6 +740,8 @@ def main(args=None):
                   minsn=args.minsn, fit_targetid=fit_targetid,
                   expid_range=expid_range,
                   zbest_select=args.zbest_select,
+                  zbest_from_coadd=args.zbest_select,
+                  doplot_figs=args.doplot,
                   objtype_mask=args.objtype_mask,
                   use_resolution_matrix=args.resolution_matrix,
                   throw_exceptions=args.throw_exceptions)
