@@ -81,7 +81,7 @@ def main():
 
     def pipeline(bf):
         scan = bf.scan_velocities(vel_grid, start_params)
-        nmres = bf.run_neldermead(mapper, scan['best_vel'])
+        nmres = bf.run_neldermead(mapper, scan['best_vel'], nm_chunk=64)
         vel_b, params_b, _ = mapper.unpack_host(nmres['x'])
         ref = bf.refine_velocities(vel_b, params_b)
         errs, _, bad = bf.hessian_errors(ref['best_vel'], params_b,

@@ -378,7 +378,8 @@ class BatchedFitter:
 
     # -------------------------------------------------------------
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
-                       fatol=1e-3, xatol=1e-2, maxiter=2000, x0=None):
+                       fatol=1e-3, xatol=1e-2, maxiter=2000, x0=None,
+                       nm_chunk=None):
         """Batched NM over fibers.
 
         mapper : vel_fit.ParamMapper; starting vectors default to the
@@ -404,7 +405,8 @@ class BatchedFitter:
         def nm_fn(arms_slice, simplex_tile):
             res = nm.minimize_batch(objective, simplex_tile, fatol=fatol,
                                     xatol=xatol, maxiter=maxiter,
-                                    fun_args=(arms_slice,))
+                                    fun_args=(arms_slice,),
+                                    chunk=nm_chunk)
             packed = jnp.concatenate(
                 [res['x'], res['fun'][:, None],
                  res['converged'][:, None].astype(res['x'].dtype)],
@@ -497,60 +499,64 @@ class BatchedFitter:
                     done | stop,
                     stats)
 
-        def refine_all(arms, best_vel0, params, vsinis):
-            dt = self.dtype
-            b = best_vel0.shape[0]
-            init = (jnp.clip(best_vel0, min_vel0, max_vel0),
-                    jnp.full(b, min_vel0, dt), jnp.full(b, max_vel0, dt),
-                    jnp.full(b, vel_step0, dt), jnp.zeros(b, bool),
-                    jnp.zeros((b, 5), dt))
-            # first pass: full-range grid ("crucially we start from a
-            # broad range to capture multiple CCF peaks",
-            # vel_fit.py:368-372)
-            state = jax.vmap(
-                lambda a, s0, s1, s2, s3, s4, s5, p, w: step_one(
-                    a, nv, (s0, s1, s2, s3, s4, s5), p, w),
-                in_axes=(self.arm_axes,) + (0,) * 8)(
-                    arms, *init, params, vsinis)
-
-            # subsequent passes: narrow windows, loop exits as soon as
-            # every fiber has converged
-            def cond(carry):
-                it, st = carry
-                return (it < maxiter) & ~jnp.all(st[4])
-
-            def body(carry):
-                it, st = carry
+        def step_all(nv_cur):
+            def fn(arms, s0, s1, s2, s3, s4, s5, params, vsinis):
                 st = jax.vmap(
-                    lambda a, s0, s1, s2, s3, s4, s5, p, w: step_one(
-                        a, nv_win, (s0, s1, s2, s3, s4, s5), p, w),
+                    lambda a, t0, t1, t2, t3, t4, t5, p, w: step_one(
+                        a, nv_cur, (t0, t1, t2, t3, t4, t5), p, w),
                     in_axes=(self.arm_axes,) + (0,) * 8)(
-                        arms, *st, params, vsinis)
-                return it + 1, st
+                        arms, s0, s1, s2, s3, s4, s5, params, vsinis)
+                return st + (jnp.all(st[4]),)
+            return jax.jit(fn)
 
-            _, state = jax.lax.while_loop(cond, body, (jnp.asarray(1),
-                                                       state))
-            return state[5]
-
-        return jax.jit(refine_all)
+        # two small single-step programs (full-range + window) driven
+        # from the host with a tiny converged-flag fetch per iteration
+        # — each contains the scan likelihood exactly once, keeping
+        # remote TPU compiles tractable
+        return step_all(nv), step_all(nv_win)
 
     def refine_velocities(self, best_vel, params, vsinis=None,
                           maxiter=10):
-        """Batched iterative velocity refinement, fully on device."""
+        """Batched iterative velocity refinement: a full-range pass
+        ("crucially we start from a broad range to capture multiple
+        CCF peaks", reference vel_fit.py:368-372) followed by narrow-
+        window passes until every fiber's step resolves its
+        uncertainty."""
         b = self.nfibers
         nv = int(math.ceil((float(self.config['max_vel'])
                             - float(self.config['min_vel']))
                            / float(self.config['vel_step0']))) + 1
         key = ('refine', nv, maxiter)
-        fn = self._objective_cache.get(key)
-        if fn is None:
-            fn = self._build_refine(nv, maxiter)
-            self._objective_cache[key] = fn
-        vs = jnp.zeros(b, self.dtype) if vsinis is None else \
-            jnp.asarray(vsinis, self.dtype)
+        fns = self._objective_cache.get(key)
+        if fns is None:
+            fns = self._build_refine(nv, maxiter)
+            self._objective_cache[key] = fns
+        full_fn, win_fn = fns
+        dt = self.dtype
+        vs = jnp.zeros(b, dt) if vsinis is None else \
+            jnp.asarray(vsinis, dt)
+        params_j = jnp.asarray(params, dt)
+        min_vel0 = float(self.config['min_vel'])
+        max_vel0 = float(self.config['max_vel'])
+
+        def run_tile(arms_slice, best0, par, w):
+            bb = best0.shape[0]
+            state = (jnp.clip(best0, min_vel0, max_vel0),
+                     jnp.full(bb, min_vel0, dt),
+                     jnp.full(bb, max_vel0, dt),
+                     jnp.full(bb, float(self.config['vel_step0']), dt),
+                     jnp.zeros(bb, bool), jnp.zeros((bb, 5), dt))
+            out = full_fn(arms_slice, *state, par, w)
+            state, alldone = out[:6], out[6]
+            it = 1
+            while it < maxiter and not bool(alldone):
+                out = win_fn(arms_slice, *state, par, w)
+                state, alldone = out[:6], out[6]
+                it += 1
+            return state[5]
+
         packed = np.asarray(self._run_mb(
-            fn, jnp.asarray(best_vel, self.dtype),
-            jnp.asarray(params, self.dtype), vs))
+            run_tile, jnp.asarray(best_vel, dt), params_j, vs))
         return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
                     best_chi=packed[:, 2], skewness=packed[:, 3],
                     kurtosis=packed[:, 4])

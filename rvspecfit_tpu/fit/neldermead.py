@@ -37,7 +37,7 @@ def _sorted_simplex(simplex, fvals):
 
 
 def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
-                   maxiter=2000, jit=True, fun_args=()):
+                   maxiter=2000, jit=True, fun_args=(), chunk=None):
     """Minimize ``fun`` over a batch of simplexes.
 
     With ``jit=True`` (default) the entire optimization — including
@@ -60,6 +60,13 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     fatol, xatol : scipy-compatible absolute tolerances
     maxiter : iteration cap
 
+    ``chunk``: run the optimization as a host-driven sequence of
+    jitted ``chunk``-iteration fori_loop programs with a tiny
+    converged-flag fetch in between, instead of one while_loop
+    program.  Functionally identical; the chunked programs contain
+    the objective exactly once each, which keeps fragile remote TPU
+    compilers alive.
+
     Returns
     -------
     dict with x (B, n), fun (B,), converged (B,), nit, final_simplex
@@ -67,6 +74,27 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     simplex = jnp.asarray(initial_simplex)
     b, np1, n = simplex.shape
     assert np1 == n + 1
+
+    if chunk is not None:
+        key = ('chunked', fun, fatol, xatol, chunk)
+        fns = _JIT_CACHE.get(key)
+        if fns is None:
+            init_fn = jax.jit(partial(_nm_init, fun, fatol=fatol,
+                                      xatol=xatol))
+            chunk_fn = jax.jit(partial(_nm_chunk, fun, fatol=fatol,
+                                       xatol=xatol, chunk=chunk))
+            fns = (init_fn, chunk_fn)
+            _JIT_CACHE[key] = fns
+        init_fn, chunk_fn = fns
+        simplex, fvals, done, alldone = init_fn(simplex, *fun_args)
+        nit = 0
+        while nit < maxiter and not bool(alldone):
+            simplex, fvals, done, alldone = chunk_fn(
+                simplex, fvals, done, *fun_args)
+            nit += chunk
+        simplex, fvals = _sorted_simplex(simplex, fvals)
+        return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
+                    nit=nit, final_simplex=simplex)
 
     if jit:
         key = (fun, fatol, xatol, maxiter)
@@ -83,117 +111,133 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
                 nit=nit, final_simplex=simplex)
 
 
-def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
-    """Unsorted-simplex NM: best/worst rows are selected with one-hot
-    contractions instead of argsort + gather/scatter.  Mathematically
-    identical to the sorted formulation (up to tie-breaking); the
-    einsum selections compile and run far better on TPUs than
-    per-instance sorts of tiny rows (and avoid a remote-compiler
-    failure observed with the argsort formulation)."""
-    b, np1, n = simplex.shape
-    fvals = fun(simplex, *fun_args)
-
-    alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+def _nm_stats(simplex, fvals):
     big = jnp.asarray(jnp.finfo(simplex.dtype).max / 4, simplex.dtype)
+    fsafe = jnp.where(jnp.isfinite(fvals), fvals, big)
+    np1 = simplex.shape[1]
+    iw = jnp.argmax(fsafe, axis=1)
+    ohw = jax.nn.one_hot(iw, np1, dtype=simplex.dtype)
+    f_worst = jnp.sum(ohw * fvals, axis=1)
+    f_second = jnp.max(jnp.where(ohw > 0, -big, fsafe), axis=1)
+    ib = jnp.argmin(fsafe, axis=1)
+    ohb = jax.nn.one_hot(ib, np1, dtype=simplex.dtype)
+    f_best = jnp.sum(ohb * fvals, axis=1)
+    return ohw, ohb, f_worst, f_second, f_best
 
-    def onehot(idx):
-        return jax.nn.one_hot(idx, np1, dtype=simplex.dtype)
 
-    def pick_row(oh, s):
-        return jnp.einsum('bi,bin->bn', oh, s)
+def _pick_row(oh, s):
+    return jnp.einsum('bi,bin->bn', oh, s)
 
-    def stats(simplex, fvals):
-        fsafe = jnp.where(jnp.isfinite(fvals), fvals, big)
-        iw = jnp.argmax(fsafe, axis=1)
-        ohw = onehot(iw)
-        f_worst = jnp.sum(ohw * fvals, axis=1)
-        f_second = jnp.max(jnp.where(ohw > 0, -big, fsafe), axis=1)
-        ib = jnp.argmin(fsafe, axis=1)
-        ohb = onehot(ib)
-        f_best = jnp.sum(ohb * fvals, axis=1)
-        return ohw, ohb, f_worst, f_second, f_best
 
-    def converged_mask(simplex, fvals):
-        ohw, ohb, f_worst, f_second, f_best = stats(simplex, fvals)
-        best = pick_row(ohb, simplex)
-        fspread = jnp.max(jnp.abs(fvals - f_best[:, None]), axis=1)
-        xspread = jnp.max(jnp.abs(simplex - best[:, None, :]),
-                          axis=(1, 2))
-        return (fspread <= fatol) & (xspread <= xatol)
+def _nm_converged(simplex, fvals, fatol, xatol):
+    _, ohb, _, _, f_best = _nm_stats(simplex, fvals)
+    best = _pick_row(ohb, simplex)
+    fspread = jnp.max(jnp.abs(fvals - f_best[:, None]), axis=1)
+    xspread = jnp.max(jnp.abs(simplex - best[:, None, :]), axis=(1, 2))
+    return (fspread <= fatol) & (xspread <= xatol)
+
+
+def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
+    """One NM iteration on an UNSORTED simplex.
+
+    Best/worst rows are selected with one-hot contractions (no argsort
+    / gather / scatter), and every candidate of the iteration —
+    reflection, expansion, both contractions AND the shrunk simplex —
+    depends only on the current simplex, so all are evaluated in ONE
+    batched call: a single objective call site keeps the compiled
+    program small (remote TPU compilers choke on the objective inlined
+    3-4 times) and turns the iteration into arithmetic selection.
+    Mathematically identical to the sorted formulation up to
+    tie-breaking (verified against scipy).
+    """
+    alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+    n = simplex.shape[2]
+    ohw, ohb, f_worst, f_second, f_best = _nm_stats(simplex, fvals)
+    worst = _pick_row(ohw, simplex)
+    best = _pick_row(ohb, simplex)
+    centroid = (jnp.sum(simplex, axis=1) - worst) / n
+
+    xr = centroid + alpha * (centroid - worst)
+    xe = centroid + gamma * (xr - centroid)
+    xc_out = centroid + rho * (xr - centroid)
+    xc_in = centroid - rho * (centroid - worst)
+    shrunk = best[:, None, :] + sigma * (simplex - best[:, None, :])
+    cand = jnp.concatenate(
+        [xr[:, None, :], xe[:, None, :], xc_out[:, None, :],
+         xc_in[:, None, :], shrunk], axis=1)            # (B, 4+n+1, n)
+    fcand = fun(cand, *fun_args)                        # (B, 4+n+1)
+    fr, fe, fco, fci = (fcand[:, 0], fcand[:, 1], fcand[:, 2],
+                        fcand[:, 3])
+    f_shr = fcand[:, 4:]
+
+    expand = fr < f_best
+    contract_out = (fr >= f_second) & (fr < f_worst)
+    contract_in = fr >= f_worst
+    x2 = jnp.where(expand[:, None], xe,
+                   jnp.where(contract_in[:, None], xc_in, xc_out))
+    f2 = jnp.where(expand, fe, jnp.where(contract_in, fci, fco))
+
+    # accept logic per scipy:
+    #  - fr < f_best: take min(fr, fe) point
+    #  - f_best <= fr < f_second: accept xr
+    #  - contract_out: accept xc if f2 <= fr else shrink
+    #  - contract_in: accept xc if f2 < f_worst else shrink
+    take_expansion = expand & (f2 < fr)
+    accept_r = (~expand & ~contract_out & ~contract_in) | \
+        (expand & ~take_expansion)
+    accept_2 = take_expansion | (contract_out & (f2 <= fr)) | \
+        (contract_in & (f2 < f_worst))
+    shrink = ~(accept_r | accept_2)
+
+    new_point = jnp.where(accept_2[:, None], x2, xr)
+    new_f = jnp.where(accept_2, f2, fr)
+    replace = (~shrink)[:, None] * ohw                   # (B, n+1)
+    simplex_upd = simplex * (1 - replace)[:, :, None] \
+        + replace[:, :, None] * new_point[:, None, :]
+    fvals_upd = fvals * (1 - replace) + replace * new_f[:, None]
+    simplex_upd = jnp.where(shrink[:, None, None], shrunk, simplex_upd)
+    fvals_upd = jnp.where(shrink[:, None], f_shr, fvals_upd)
+
+    # freeze converged instances
+    simplex_new = jnp.where(done[:, None, None], simplex, simplex_upd)
+    fvals_new = jnp.where(done[:, None], fvals, fvals_upd)
+    done_new = done | _nm_converged(simplex_new, fvals_new, fatol, xatol)
+    return simplex_new, fvals_new, done_new
+
+
+def _nm_init(fun, simplex, *fun_args, fatol, xatol):
+    fvals = fun(simplex, *fun_args)
+    done = _nm_converged(simplex, fvals, fatol, xatol)
+    return simplex, fvals, done, jnp.all(done)
+
+
+def _nm_chunk(fun, simplex, fvals, done, *fun_args, fatol, xatol, chunk):
+    def body(_, state):
+        s, f, d = state
+        return _nm_body(fun, fun_args, s, f, d, fatol, xatol)
+
+    simplex, fvals, done = jax.lax.fori_loop(
+        0, chunk, body, (simplex, fvals, done))
+    return simplex, fvals, done, jnp.all(done)
+
+
+def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
+    fvals = fun(simplex, *fun_args)
+    done0 = _nm_converged(simplex, fvals, fatol, xatol)
 
     def body(state):
-        simplex, fvals, it, done = state
-        ohw, ohb, f_worst, f_second, f_best = stats(simplex, fvals)
-        worst = pick_row(ohw, simplex)
-        best = pick_row(ohb, simplex)
-        centroid = (jnp.sum(simplex, axis=1) - worst) / n
-
-        # Every candidate of the iteration — reflection, expansion,
-        # both contractions AND the shrunk simplex — depends only on
-        # the current simplex, so everything is evaluated in ONE
-        # batched call: a single objective call site in the loop body
-        # keeps the compiled program small (remote TPU compilers choke
-        # on the objective inlined 3-4 times) and turns the iteration
-        # into pure arithmetic selection.
-        xr = centroid + alpha * (centroid - worst)
-        xe = centroid + gamma * (xr - centroid)
-        xc_out = centroid + rho * (xr - centroid)
-        xc_in = centroid - rho * (centroid - worst)
-        shrunk = best[:, None, :] + sigma * (simplex - best[:, None, :])
-        cand = jnp.concatenate(
-            [xr[:, None, :], xe[:, None, :], xc_out[:, None, :],
-             xc_in[:, None, :], shrunk], axis=1)        # (B, 4+n+1, n)
-        fcand = fun(cand, *fun_args)                    # (B, 4+n+1)
-        fr, fe, fco, fci = fcand[:, 0], fcand[:, 1], fcand[:, 2], \
-            fcand[:, 3]
-        f_shr = fcand[:, 4:]
-
-        expand = fr < f_best
-        contract_out = (fr >= f_second) & (fr < f_worst)
-        contract_in = fr >= f_worst
-        x2 = jnp.where(expand[:, None], xe,
-                       jnp.where(contract_in[:, None], xc_in, xc_out))
-        f2 = jnp.where(expand, fe, jnp.where(contract_in, fci, fco))
-
-        # accept logic per scipy:
-        #  - fr < f_best: take min(fr, fe) point
-        #  - f_best <= fr < f_second: accept xr
-        #  - contract_out: accept xc if f2 <= fr else shrink
-        #  - contract_in: accept xc if f2 < f_worst else shrink
-        take_expansion = expand & (f2 < fr)
-        accept_r = (~expand & ~contract_out & ~contract_in) | \
-            (expand & ~take_expansion)
-        accept_2 = take_expansion | (contract_out & (f2 <= fr)) | \
-            (contract_in & (f2 < f_worst))
-        shrink = ~(accept_r | accept_2)
-
-        new_point = jnp.where(accept_2[:, None], x2, xr)
-        new_f = jnp.where(accept_2, f2, fr)
-        replace = (~shrink)[:, None] * ohw               # (B, n+1)
-        simplex_upd = simplex * (1 - replace)[:, :, None] \
-            + replace[:, :, None] * new_point[:, None, :]
-        fvals_upd = fvals * (1 - replace) + replace * new_f[:, None]
-        simplex_upd = jnp.where(shrink[:, None, None], shrunk,
-                                simplex_upd)
-        fvals_upd = jnp.where(shrink[:, None], f_shr, fvals_upd)
-
-        # freeze converged instances
-        simplex_new = jnp.where(done[:, None, None], simplex, simplex_upd)
-        fvals_new = jnp.where(done[:, None], fvals, fvals_upd)
-        done_new = done | converged_mask(simplex_new, fvals_new)
-        return simplex_new, fvals_new, it + 1, done_new
+        s, f, it, d = state
+        s, f, d = _nm_body(fun, fun_args, s, f, d, fatol, xatol)
+        return s, f, it + 1, d
 
     def cond(state):
-        _, _, it, done = state
-        return (it < maxiter) & ~jnp.all(done)
+        _, _, it, d = state
+        return (it < maxiter) & ~jnp.all(d)
 
-    done0 = converged_mask(simplex, fvals)
     simplex, fvals, nit, done = jax.lax.while_loop(
         cond, body, (simplex, fvals, jnp.asarray(0), done0))
     # order the output so row 0 is the best vertex
-    order = jnp.argsort(fvals, axis=-1)
-    fvals = jnp.take_along_axis(fvals, order, axis=-1)
-    simplex = jnp.take_along_axis(simplex, order[..., None], axis=-2)
+    simplex, fvals = _sorted_simplex(simplex, fvals)
     return simplex, fvals, nit, done
 
 
