@@ -156,11 +156,19 @@ class BatchedFitter:
             if a.resolution is not None:
                 band_np = np.asarray(a.resolution)
             cast = lambda x: np.asarray(x, dtype=np.dtype(dtype))
+            from rvspecfit_tpu.ops.spline import fractional_index
+            geom_a = self.templates[a.setup].geom
+            idx0 = fractional_index(geom_a, a.lam)
+            lam_over_step = None if geom_a.log_step else \
+                a.lam / geom_a.step
             host_arms.append(dict(
                 lam=cast(a.lam), dvec=cast(flux / esp),
                 espec_inv=cast(1.0 / esp), polys=cast(polys),
                 log_espec_sum=cast(np.log(esp).sum(axis=1)),
-                band=None if band_np is None else cast(band_np)))
+                band=None if band_np is None else cast(band_np),
+                idx0=cast(idx0),
+                lam_over_step=None if lam_over_step is None else
+                cast(lam_over_step)))
         dev_arms = jax.device_put(host_arms)
 
         self.arms = []
@@ -177,10 +185,12 @@ class BatchedFitter:
             self.arms.append(ArmState(
                 lam=d['lam'], dvec=d['dvec'], espec_inv=d['espec_inv'],
                 polys=d['polys'], log_espec_sum=d['log_espec_sum'],
-                band=band, name=a.name, setup=a.setup))
+                band=band, name=a.name, setup=a.setup,
+                idx0=d['idx0'], lam_over_step=d['lam_over_step']))
             self.arm_axes.append(ArmState(
                 lam=None, dvec=0, espec_inv=0, polys=None, log_espec_sum=0,
-                band=band_ax, name=a.name, setup=a.setup))
+                band=band_ax, name=a.name, setup=a.setup,
+                idx0=None, lam_over_step=None))
 
         self.badchi = float(10 * sum(len(a.lam) for a in arms))
         self._objective_cache = {}
@@ -256,7 +266,8 @@ class BatchedFitter:
                 polys=arm.polys,
                 log_espec_sum=self._pad_slice(arm.log_espec_sum, lo, hi,
                                               mb),
-                band=band, name=arm.name, setup=arm.setup))
+                band=band, name=arm.name, setup=arm.setup,
+                idx0=arm.idx0, lam_over_step=arm.lam_over_step))
         return out
 
     def _run_mb(self, fn, *per_fiber_args):
@@ -574,21 +585,18 @@ class BatchedFitter:
         b = self.nfibers
 
         def model_one(arms_slice, vel, param, vsini):
-            from rvspecfit_tpu.fit.likelihood import template_stage
-            from rvspecfit_tpu.ops import spline as spline_mod
+            from rvspecfit_tpu.fit.likelihood import (template_stage,
+                                                      _eval_doppler_single)
             from rvspecfit_tpu.ops import chisq as chisq_mod
             stage = {s: template_stage(
                 self.templates[s], param[None, :], vsini[None],
                 self.use_vsini, self._half_widths.get(s))
                 for s in self.templates}
-            beta = vel / SPEED_OF_LIGHT
-            dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
             out = []
             for arm in arms_slice:
                 coeffs = stage[arm.setup][0][0]
                 tm = self.templates[arm.setup]
-                val, _ = spline_mod.spline_eval(tm.geom, coeffs,
-                                                arm.lam * dop)
+                val = _eval_doppler_single(arm, tm, coeffs, vel[None])[0]
                 if arm.band is not None:
                     val = arm.band.matvec(val)
                 _, coef = chisq_mod.chisq_continuum_marg(

@@ -67,6 +67,55 @@ def _overlap_check(tm_or_bounds, arm_lam, min_vel, max_vel):
                 f'data ({a0},{a1}) at velocities {min_vel}..{max_vel}')
 
 
+
+
+def _doppler_u(arm, tm, vels):
+    """Fractional-index query grid (T, npix) for the index eval path."""
+    shift = spline_mod.doppler_index_shift(tm.geom, vels,
+                                           arm.lam_over_step)
+    if tm.geom.log_step:
+        return arm.idx0[None, :] + shift[:, None]
+    return arm.idx0[None, :] + shift[:, None] * arm.lam_over_step[None, :]
+
+
+def _eval_doppler_single(arm, tm, coeffs, vels):
+    """Doppler evaluation of ONE template at many velocities.
+
+    coeffs: (n-1, 4); vels: (V,) -> (V, npix).
+    """
+    if arm.idx0 is not None:
+        u = _doppler_u(arm, tm, vels)
+        return spline_mod.spline_eval_index(tm.geom, coeffs, u)[0]
+    beta = vels / SPEED_OF_LIGHT
+    dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
+    q = arm.lam[None, :] * dop[:, None]
+    return jax.vmap(
+        lambda x: spline_mod.spline_eval(tm.geom, coeffs, x)[0])(q)
+
+
+def _eval_doppler(arm, tm, coeffs, vels):
+    """Doppler-shifted template evaluation at the arm pixels.
+
+    Uses the cancellation-free fractional-index path when the arm
+    carries precomputed indices (ops.spline.spline_eval_index) —
+    essential on TPUs where per-query float32 logs jitter the knot
+    assignment; falls back to direct wavelength evaluation otherwise.
+
+    coeffs: (T, n-1, 4) per-trial spline coefficients; vels: (T,).
+    Returns (T, npix) values.
+    """
+    if arm.idx0 is not None:
+        u = _doppler_u(arm, tm, vels)
+        return jax.vmap(
+            lambda c, uu: spline_mod.spline_eval_index(tm.geom, c,
+                                                       uu)[0])(coeffs, u)
+    beta = vels / SPEED_OF_LIGHT
+    dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
+    q = arm.lam[None, :] * dop[:, None]
+    return jax.vmap(
+        lambda c, x: spline_mod.spline_eval(tm.geom, c, x)[0])(coeffs, q)
+
+
 def template_stage(tm: TemplateModel, params, vsinis, use_vsini,
                    half_width):
     """Evaluate + broaden + spline-construct templates for T trials.
@@ -104,8 +153,6 @@ def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
     Remaining arguments are static.
     """
     vels = jnp.atleast_1d(vels)
-    beta = vels / SPEED_OF_LIGHT
-    dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))       # (T,)
 
     stage = {s: template_stage(templates[s], params, vsinis, use_vsini,
                                half_widths.get(s))
@@ -114,10 +161,8 @@ def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
     total = jnp.zeros_like(vels)
     for arm in arms:
         coeffs, outside, crap, finite_t = stage[arm.setup]
-        q = arm.lam[None, :] * dop[:, None]           # (T, npix)
         tm = templates[arm.setup]
-        val, _ = jax.vmap(
-            lambda c, x: spline_mod.spline_eval(tm.geom, c, x))(coeffs, q)
+        val = _eval_doppler(arm, tm, coeffs, vels)    # (T, npix)
         if arm.band is not None:
             val = jax.vmap(arm.band.matvec)(val)
         t_over_e = val * arm.espec_inv[None, :] if arm.espec_inv.ndim == 1 \
@@ -151,8 +196,6 @@ def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
     path would redo it V times.
     """
     vels = jnp.atleast_1d(vels)
-    beta = vels / SPEED_OF_LIGHT
-    dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))       # (V,)
 
     stage = {s: template_stage(templates[s], param[None, :], vsini[None],
                                use_vsini, half_widths.get(s))
@@ -164,9 +207,7 @@ def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
         coeffs, outside, crap, finite_t = (coeffs[0], outside[0], crap[0],
                                            finite_t[0])
         tm = templates[arm.setup]
-        q = arm.lam[None, :] * dop[:, None]           # (V, npix)
-        val, _ = jax.vmap(
-            lambda x: spline_mod.spline_eval(tm.geom, coeffs, x))(q)
+        val = _eval_doppler_single(arm, tm, coeffs, vels)  # (V, npix)
         if arm.band is not None:
             val = jax.vmap(arm.band.matvec)(val)
         t_over_e = val * arm.espec_inv[None, :]
@@ -220,6 +261,12 @@ class FusedChisq:
         self.solve_dtype = solve_dtype
         self.specdata = list(specdata)
 
+        self.templates = {}
+        for sd in specdata:
+            if sd.name not in templates:
+                raise KeyError(f'no template model for setup {sd.name!r}')
+            self.templates[sd.name] = templates[sd.name]
+
         self.arms = []
         for sd in specdata:
             sysdict = espec_systematic
@@ -228,14 +275,8 @@ class FusedChisq:
             rm = None if resol_mats is None else resol_mats.get(sd.name)
             self.arms.append(ArmState.build(
                 sd, npoly=self.npoly, rbf=self.rbf,
-                espec_systematic=sysdict, resol_matrix=rm, dtype=dtype))
-
-        self.templates = {}
-        setups = {a.setup for a in self.arms}
-        for s in setups:
-            if s not in templates:
-                raise KeyError(f'no template model for setup {s!r}')
-            self.templates[s] = templates[s]
+                espec_systematic=sysdict, resol_matrix=rm, dtype=dtype,
+                geom=templates[sd.name].geom))
 
         min_vel, max_vel = config['min_vel'], config['max_vel']
         for sd in self.specdata:
@@ -315,13 +356,12 @@ class FusedChisq:
         coeffs_by_setup = {
             s: self._template_stage(s, params[None, :], vsini[None])
             for s in self.templates}
-        beta = vel / SPEED_OF_LIGHT
-        dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
         out = {'models': [], 'raw_models': [], 'chisq_marg': []}
         for arm in self.arms:
             coeffs, outside, crap, finite_t = coeffs_by_setup[arm.setup]
             tm = self.templates[arm.setup]
-            val, _ = spline_mod.spline_eval(tm.geom, coeffs[0], arm.lam * dop)
+            val = _eval_doppler_single(arm, tm, coeffs[0],
+                                       vel[None])[0]
             if arm.band is not None:
                 val = arm.band.matvec(val)
             t_over_e = val * arm.espec_inv

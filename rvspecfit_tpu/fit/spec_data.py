@@ -66,7 +66,13 @@ class SpecData:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class ArmState:
-    """Device constants of one arm for the fused likelihood."""
+    """Device constants of one arm for the fused likelihood.
+
+    ``idx0``/``lam_over_step`` are the float64-precomputed fractional
+    template-grid indices of the arm pixels (and, for linear template
+    grids, lam/step) enabling the cancellation-free Doppler index
+    shift (ops.spline.spline_eval_index).
+    """
 
     lam: jnp.ndarray            # (npix,)
     dvec: jnp.ndarray           # (npix,) spec/espec
@@ -76,16 +82,19 @@ class ArmState:
     band: BandedMatrix | None   # optional resolution matrix
     name: str                   # static
     setup: str                  # static: template setup key
+    idx0: jnp.ndarray | None = None          # (npix,) fractional index
+    lam_over_step: jnp.ndarray | None = None  # (npix,) linear grids
 
     def tree_flatten(self):
         children = (self.lam, self.dvec, self.espec_inv, self.polys,
-                    self.log_espec_sum, self.band)
+                    self.log_espec_sum, self.band, self.idx0,
+                    self.lam_over_step)
         return children, (self.name, self.setup)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         name, setup = aux
-        return cls(*children, name, setup)
+        return cls(*children[:6], name, setup, *children[6:])
 
     @property
     def npix(self):
@@ -93,7 +102,7 @@ class ArmState:
 
     @classmethod
     def build(cls, sd: SpecData, npoly=5, rbf=True, espec_systematic=None,
-              resol_matrix=None, dtype=None, setup=None):
+              resol_matrix=None, dtype=None, setup=None, geom=None):
         """Derive device constants from a SpecData.
 
         ``espec_systematic`` is added in quadrature to the error vector
@@ -115,8 +124,16 @@ class ArmState:
         to = lambda x: jnp.asarray(x, dtype=dtype)
         if band is not None:
             band = BandedMatrix(band.offsets, band.bands.astype(dtype))
+        idx0 = None
+        lam_over_step = None
+        if geom is not None:
+            from rvspecfit_tpu.ops.spline import fractional_index
+            idx0 = to(fractional_index(geom, sd.lam))
+            if not geom.log_step:
+                lam_over_step = to(sd.lam / geom.step)
         return cls(lam=to(sd.lam), dvec=to(sd.spec / espec),
                    espec_inv=to(1.0 / espec), polys=to(polys),
                    log_espec_sum=to(np.log(espec).sum()),
                    band=band, name=sd.name,
-                   setup=setup if setup is not None else sd.name)
+                   setup=setup if setup is not None else sd.name,
+                   idx0=idx0, lam_over_step=lam_over_step)

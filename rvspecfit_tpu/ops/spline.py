@@ -215,6 +215,70 @@ def spline_eval(geom: SplineGeometry, coeffs, x):
     return val, inrange
 
 
+def spline_eval_index(geom: SplineGeometry, coeffs, u):
+    """Evaluate the spline at *fractional knot indices* ``u``.
+
+    The high-precision fast path for Doppler resampling: instead of
+    computing ``(log(x) - log x0)/step`` per query in working
+    precision (TPU float32 logs jitter the knot assignment by ~0.05
+    pixel and the ``x - x_i`` subtraction cancels catastrophically),
+    callers precompute the static part of the index in float64 on the
+    host and add a per-trial scalar shift.  The interval offsets are
+    then reconstructed without cancellation:
+
+        log grid:  dxl = x_i * expm1(frac*step),
+                   dxr = x_i * (expm1(step) - expm1(frac*step))
+        linear:    dxl = frac * step, dxr = (1-frac) * step
+
+    Also removes every per-query transcendental except one exp.
+    """
+    dt = coeffs.dtype
+    u = u.astype(dt)
+    idx = jnp.clip(jnp.floor(u), 0, geom.n - 2)
+    frac = u - idx
+    inrange = (u >= 0) & (u < geom.n - 1)
+    iidx = idx.astype(jnp.int32)
+    step = dt.type(geom.step)
+    if geom.log_step:
+        xl = dt.type(geom.x0) * jnp.exp(idx * step)
+        ef = jnp.expm1(frac * step)
+        dxl = xl * ef
+        dxr = xl * (dt.type(np.expm1(geom.step)) - ef)
+    else:
+        dxl = frac * step
+        dxr = (1.0 - frac) * step
+    cf = jnp.take(coeffs, iidx, axis=0)
+    val = (cf[..., 0] * dxl * dxl * dxl + cf[..., 1] * dxr * dxr * dxr +
+           cf[..., 2] * dxl + cf[..., 3] * dxr)
+    return val, inrange
+
+
+def fractional_index(geom: SplineGeometry, x):
+    """Host-side float64 fractional knot indices of query points."""
+    x = np.asarray(x, dtype=np.float64)
+    if geom.log_step:
+        return (np.log(x) - np.log(geom.x0)) / geom.step
+    return (x - geom.x0) / geom.step
+
+
+def doppler_index_shift(geom: SplineGeometry, vels, lam_over_step=None):
+    """Per-trial index shift of the Doppler factor, cancellation-free.
+
+    For log grids the Doppler multiplication is a constant index
+    shift: log(dop)/step with log(dop) = (log1p(-beta)-log1p(beta))/2.
+    For linear grids the shift is (dop-1) * lam/step — returns the
+    scalar (dop-1) to be multiplied by the per-pixel ``lam_over_step``.
+    """
+    c = 299792.458
+    beta = vels / c
+    logdop = 0.5 * (jnp.log1p(-beta) - jnp.log1p(beta))
+    if geom.log_step:
+        return logdop / geom.step
+    if lam_over_step is None:
+        raise ValueError('linear grids need lam_over_step')
+    return jnp.expm1(logdop)
+
+
 def spline_fit_eval(geom: SplineGeometry, ys, x):
     """Convenience: construct + evaluate in one call (single spline)."""
     return spline_eval(geom, spline_coeffs(geom, ys), x)

@@ -63,7 +63,11 @@ def shard_fitter(bf, mesh, axis='data'):
             espec_inv=jax.device_put(arm.espec_inv, row),
             polys=jax.device_put(arm.polys, repl),
             log_espec_sum=jax.device_put(arm.log_espec_sum, row),
-            band=band, name=arm.name, setup=arm.setup)
+            band=band, name=arm.name, setup=arm.setup,
+            idx0=None if arm.idx0 is None else
+            jax.device_put(arm.idx0, repl),
+            lam_over_step=None if arm.lam_over_step is None else
+            jax.device_put(arm.lam_over_step, repl))
 
     bf.arms = [place(a) for a in bf.arms]
     bf.templates = {k: jax.device_put(v, repl)
