@@ -603,7 +603,8 @@ class BatchedFitter:
                     arm.dvec, val * arm.espec_inv, arm.polys,
                     arm.log_espec_sum, solve_dtype=self.solve_dtype,
                     with_coeffs=True)
-                model = jnp.dot(coef, arm.polys * val[None, :])
+                model = jnp.dot(coef, arm.polys * val[None, :],
+                                precision=jax.lax.Precision.HIGHEST)
                 # continuum-only model
                 ctempl = jnp.ones_like(val)
                 if arm.band is not None:
@@ -612,7 +613,8 @@ class BatchedFitter:
                     arm.dvec, ctempl * arm.espec_inv, arm.polys,
                     arm.log_espec_sum, solve_dtype=self.solve_dtype,
                     with_coeffs=True)
-                cmodel = jnp.dot(ccoef, arm.polys * ctempl[None, :])
+                cmodel = jnp.dot(ccoef, arm.polys * ctempl[None, :],
+                                 precision=jax.lax.Precision.HIGHEST)
                 out.extend([model, val, cmodel])
             return tuple(out)
 

@@ -368,7 +368,8 @@ class FusedChisq:
             chi, coef = chisq_mod.chisq_continuum_marg(
                 arm.dvec, t_over_e, arm.polys, arm.log_espec_sum,
                 solve_dtype=self.solve_dtype, with_coeffs=True)
-            model = jnp.dot(coef, arm.polys * val[None, :])
+            model = jnp.dot(coef, arm.polys * val[None, :],
+                            precision=jax.lax.Precision.HIGHEST)
             out['models'].append(model)
             out['raw_models'].append(val)
             out['chisq_marg'].append(chi)
@@ -427,7 +428,8 @@ def get_chisq_continuum(specdata, options=None):
         _, coef = chisq_mod.chisq_continuum_marg(
             arm.dvec, templ * arm.espec_inv, arm.polys, arm.log_espec_sum,
             with_coeffs=True)
-        model = np.asarray(jnp.dot(coef, arm.polys * templ[None, :]))
+        model = np.asarray(jnp.dot(coef, arm.polys * templ[None, :],
+                                   precision=jax.lax.Precision.HIGHEST))
         dev = (model - sd.spec) / sd.espec
         mask = ~sd.badmask
         chisq_array[i] = (dev[mask]**2).sum()

@@ -126,7 +126,10 @@ def _nm_stats(simplex, fvals):
 
 
 def _pick_row(oh, s):
-    return jnp.einsum('bi,bin->bn', oh, s)
+    # where-based select, NOT an einsum: TPU matmuls default to
+    # bfloat16 inputs, which would truncate the picked coordinates
+    # (e.g. teff ~ 6000 to ~32 K resolution) every NM iteration
+    return jnp.sum(jnp.where(oh[:, :, None] > 0, s, 0.0), axis=1)
 
 
 def _nm_converged(simplex, fvals, fatol, xatol):

@@ -151,7 +151,8 @@ def interp_batch(state: GridInterpState, params):
     # nearest template in the ptp-scaled metric (fallback + distance)
     q = p_safe * state.ptp_inv[None, :]                    # (nt, ndim)
     d2 = (jnp.sum(q * q, axis=1)[:, None]
-          - 2.0 * q @ state.vecs_scaled.T
+          - 2.0 * jnp.dot(q, state.vecs_scaled.T,
+                          precision=jax.lax.Precision.HIGHEST)
           + jnp.sum(state.vecs_scaled * state.vecs_scaled, axis=1)[None, :])
     nearest = jnp.argmin(d2, axis=1)
     nn_dist = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))

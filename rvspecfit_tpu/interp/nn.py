@@ -72,15 +72,16 @@ def _activation(name):
 
 def forward(state: NNState, params_mapped):
     """(T, ndim) mapped params -> (T, npix) raw network output."""
+    hp = jax.lax.Precision.HIGHEST
     x = (params_mapped - state.mean) / state.std
     act = _activation(state.nonlinearity)
     h = x
     for (w, b), bn in zip(state.weights, state.bn):
-        h = act(h @ w + b)
+        h = act(jnp.dot(h, w, precision=hp) + b)
         if bn is not None:
             scale, shift = bn
             h = h * scale + shift
-    return h @ state.pc_w + state.pc_b
+    return jnp.dot(h, state.pc_w, precision=hp) + state.pc_b
 
 
 def interp_batch(state: NNState, params_mapped):

@@ -86,8 +86,12 @@ def chisq_continuum_marg(dvec, templ_over_espec, polys, log_espec_sum,
     tnorm = templ_over_espec / scale
 
     st = polys * tnorm[None, :]                            # (npoly, npix)
-    m = jnp.dot(st, st.T, preferred_element_type=dt)       # (npoly, npoly)
-    v = jnp.dot(st, dvec, preferred_element_type=dt)       # (npoly,)
+    # HIGHEST matmul precision: TPU MXU defaults to bfloat16 inputs,
+    # which injects O(1e-3) relative noise into the normal matrix and
+    # O(10) absolute noise into chi^2 — fatal for velocity refinement
+    hp = jax.lax.Precision.HIGHEST
+    m = jnp.dot(st, st.T, preferred_element_type=dt, precision=hp)
+    v = jnp.dot(st, dvec, preferred_element_type=dt, precision=hp)
 
     if solve_dtype is not None:
         a, logdet = chol_solve_logdet(m.astype(solve_dtype),
@@ -97,9 +101,10 @@ def chisq_continuum_marg(dvec, templ_over_espec, polys, log_espec_sum,
     else:
         a, logdet = chol_solve_logdet(m, v)
 
-    resid = dvec - jnp.dot(a, st, preferred_element_type=dt)
+    resid = dvec - jnp.dot(a, st, preferred_element_type=dt,
+                           precision=hp)
     chisq = (logdet + 2.0 * npoly * jnp.log(scale) + 2.0 * log_espec_sum
-             + jnp.dot(resid, resid))
+             + jnp.dot(resid, resid, precision=hp))
     if with_coeffs:
         return chisq, a / scale
     return chisq
