@@ -79,13 +79,22 @@ def main():
         tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
         [], None, False)
 
-    def pipeline(bf):
+    def pipeline(bf, verbose=False):
+        t = [time.time()]
         scan = bf.scan_velocities(vel_grid, start_params)
+        t.append(time.time())
         nmres = bf.run_neldermead(mapper, scan['best_vel'], nm_chunk=64)
+        t.append(time.time())
         vel_b, params_b, _ = mapper.unpack_host(nmres['x'])
         ref = bf.refine_velocities(vel_b, params_b)
+        t.append(time.time())
         errs, _, bad = bf.hessian_errors(ref['best_vel'], params_b,
                                          parnames=tm.parnames)
+        t.append(time.time())
+        if verbose:
+            names = ['scan', 'NM', 'refine', 'hessian']
+            log('phases: ' + ' '.join(
+                f'{n}={t[i+1]-t[i]:.1f}s' for i, n in enumerate(names)))
         return ref, params_b, errs
 
     bf = BatchedFitter(arms, templates, config, options={'npoly': 10},
@@ -95,7 +104,7 @@ def main():
     log(f'warm-up (incl. compile): {time.time() - t0:.1f} s')
 
     t0 = time.time()
-    ref, params_b, errs = pipeline(bf)
+    ref, params_b, errs = pipeline(bf, verbose=True)
     elapsed = time.time() - t0
     fps = NFIBERS / elapsed
 

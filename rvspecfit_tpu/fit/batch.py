@@ -14,7 +14,6 @@ resolution matrices) are stacked along the leading axis.
 """
 from __future__ import annotations
 
-import logging
 import math
 
 import numpy as np
@@ -23,8 +22,7 @@ import jax.numpy as jnp
 
 from rvspecfit_tpu.fit import neldermead as nm
 from rvspecfit_tpu.fit import vel_fit as vf
-from rvspecfit_tpu.fit.likelihood import (chisq_trials_core, _overlap_check,
-                                          SPEED_OF_LIGHT)
+from rvspecfit_tpu.fit.likelihood import chisq_trials_core, _overlap_check
 from rvspecfit_tpu.fit.likelihood import scan_core as likelihood_scan_core
 from rvspecfit_tpu.fit.spec_data import ArmState
 from rvspecfit_tpu.ops import basis as basis_mod
