@@ -83,7 +83,11 @@ def main():
         t = [time.time()]
         scan = bf.scan_velocities(vel_grid, start_params)
         t.append(time.time())
-        nmres = bf.run_neldermead(mapper, scan['best_vel'], nm_chunk=64)
+        # f32 chi2 noise floor is ~1e-2; tighter fatol makes
+        # stragglers grind to maxiter without moving the optimum
+        # (velocity is re-measured by the refinement stage anyway)
+        nmres = bf.run_neldermead(mapper, scan['best_vel'], nm_chunk=64,
+                                  fatol=1e-2, maxiter=768)
         t.append(time.time())
         vel_b, params_b, _ = mapper.unpack_host(nmres['x'])
         ref = bf.refine_velocities(vel_b, params_b)
