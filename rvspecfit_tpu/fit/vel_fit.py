@@ -297,6 +297,9 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
     vel_step0 = config['vel_step0']
     min_vel_step = config['min_vel_step']
     second_minimizer = config.get('second_minimizer') or False
+    # optional chunked-NM execution (see neldermead.minimize_batch):
+    # recommended on remote-compile TPU backends
+    nm_chunk = config.get('nm_chunk')
 
     fitVsini = 'vsini' in paramDict0 and 'vsini' not in fixParam
     use_vsini = 'vsini' in paramDict0
@@ -332,9 +335,11 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
                                seed=SIMPLEX_SEED)
     minimize_success = True
     maxiter = 2
+    nm_fatol = config.get('nm_fatol') or 1e-3
     for curiter in range(1, maxiter + 1):
-        nmres = nm.minimize_batch(nm_objective, simplex, fatol=1e-3,
-                                  xatol=1e-2, maxiter=10000)
+        nmres = nm.minimize_batch(nm_objective, simplex, fatol=nm_fatol,
+                                  xatol=1e-2, maxiter=10000,
+                                  chunk=nm_chunk)
         xbest = np.asarray(nmres['x'])[0]
         if bool(nmres['converged'][0]):
             break
