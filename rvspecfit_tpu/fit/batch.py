@@ -386,10 +386,41 @@ class BatchedFitter:
                     skewness=skew, kurtosis=kurt)
 
     # -------------------------------------------------------------
+    def _gather_arms(self, idx):
+        """ArmState list with the fiber-axis leaves gathered at
+        ``idx`` (device gather — used for straggler compaction)."""
+        idx = jnp.asarray(np.asarray(idx, np.int32))
+        out = []
+        for arm in self.arms:
+            band = arm.band
+            if band is not None:
+                band = BandedMatrix(band.offsets,
+                                    jnp.take(band.bands, idx, axis=0))
+            out.append(ArmState(
+                lam=arm.lam,
+                dvec=jnp.take(arm.dvec, idx, axis=0),
+                espec_inv=jnp.take(arm.espec_inv, idx, axis=0),
+                polys=arm.polys,
+                log_espec_sum=jnp.take(arm.log_espec_sum, idx, axis=0),
+                band=band, name=arm.name, setup=arm.setup,
+                idx0=arm.idx0, lam_over_step=arm.lam_over_step))
+        return out
+
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
                        fatol=1e-3, xatol=1e-2, maxiter=2000, x0=None,
                        nm_chunk=None):
-        """Batched NM over fibers.
+        """Batched NM over fibers, with straggler compaction.
+
+        The optimization runs as host-driven rounds of ``nm_chunk``
+        on-device iterations.  Between rounds, *unconverged* fibers are
+        repacked (device gather of their arm data + simplex state) into
+        as few microbatch tiles as possible — once most fibers have
+        converged, each round costs one tile instead of B/mb tiles, so
+        straggler fibers no longer hold whole-exposure compute hostage.
+        Restart rounds rebuild a FRESH randomized simplex around each
+        unconverged fiber's current best point, which escapes collapsed
+        simplexes (re-feeding the collapsed simplex, as the reference
+        does at vel_fit.py:643, just replays the collapse).
 
         mapper : vel_fit.ParamMapper; starting vectors default to the
             mapper's paramDict0 with per-fiber velocities best_vel0
@@ -408,29 +439,93 @@ class BatchedFitter:
             x0[:, 0] = np.asarray(best_vel0)
         else:
             x0 = np.asarray(x0, np.float64)
-        simplex = nm.build_simplex(jnp.asarray(x0, self.dtype),
-                                   mapper.scales().astype(np.float64),
-                                   seed=vf.SIMPLEX_SEED)
-        def nm_fn(arms_slice, simplex_tile):
-            res = nm.minimize_batch(objective, simplex_tile, fatol=fatol,
-                                    xatol=xatol, maxiter=maxiter,
-                                    fun_args=(arms_slice,),
-                                    chunk=nm_chunk)
-            packed = jnp.concatenate(
-                [res['x'], res['fun'][:, None],
-                 res['converged'][:, None].astype(res['x'].dtype)],
-                axis=1)
-            return packed, res['final_simplex']
 
-        for it in range(maxrestart):
-            # ONE packed fetch per restart round (x | fun | converged)
-            packed_d, final_simplex = self._run_mb(nm_fn, simplex)
-            packed = np.asarray(packed_d)
-            conv = packed[:, -1] > 0.5
-            if conv.all() or it == maxrestart - 1:
-                break
-            simplex = final_simplex
-        return dict(x=packed[:, :-2], fun=packed[:, -2], converged=conv)
+        b = self.nfibers
+        nvec = x0.shape[1]
+        np1 = nvec + 1
+        scales = mapper.scales().astype(np.float64)
+        chunk = int(nm_chunk or min(64, maxiter))
+        mb = self.microbatch or b
+        dt = self.dtype
+
+        # jitted init/chunk programs returning ONE packed array
+        # [simplex | fvals | done] — a single fetch per tile per round
+        # (device->host round-trips pay O(0.1 s) latency on remote
+        # TPU tunnels, so three fetches per tile would dominate)
+        pkey = ('nm_packed', key, fatol, xatol, chunk)
+        fns = self._objective_cache.get(pkey)
+        if fns is None:
+            init_raw, chunk_raw = nm.make_stepper(objective, fatol=fatol,
+                                                  xatol=xatol, chunk=chunk)
+
+            def pack(s, f, d):
+                bb = s.shape[0]
+                return jnp.concatenate(
+                    [s.reshape(bb, -1), f, d[:, None].astype(s.dtype)],
+                    axis=1)
+
+            init_p = jax.jit(lambda s, arms: pack(*init_raw(s, arms)[:3]))
+            chunk_p = jax.jit(
+                lambda s, f, d, arms: pack(*chunk_raw(s, f, d, arms)[:3]))
+            fns = (init_p, chunk_p)
+            self._objective_cache[pkey] = fns
+        init_p, chunk_p = fns
+
+        simplex_h = np.array(
+            nm.build_simplex(jnp.asarray(x0), scales, seed=vf.SIMPLEX_SEED),
+            np.float64)                                   # (B, n+1, n)
+        fvals_h = np.zeros((b, np1))
+        done_h = np.zeros(b, bool)
+
+        def tiles_of(idx):
+            for lo in range(0, idx.size, mb):
+                sel = idx[lo:lo + mb]
+                sel_p = sel if sel.size == mb else np.concatenate(
+                    [sel, np.repeat(sel[-1:], mb - sel.size)])
+                yield sel, sel_p
+
+        def unpack_to_host(sel, packed):
+            k = sel.size
+            p = np.asarray(packed, np.float64)[:k]
+            simplex_h[sel] = p[:, :np1 * nvec].reshape(k, np1, nvec)
+            fvals_h[sel] = p[:, np1 * nvec:np1 * nvec + np1]
+            done_h[sel] = p[:, -1] > 0.5
+
+        def eval_init(idx):
+            for sel, sel_p in tiles_of(idx):
+                unpack_to_host(sel, init_p(
+                    jnp.asarray(simplex_h[sel_p], dt),
+                    self._gather_arms(sel_p)))
+
+        eval_init(np.arange(b))
+        for restart in range(maxrestart):
+            if restart > 0:
+                undone = np.where(~done_h)[0]
+                if undone.size == 0:
+                    break
+                xb = simplex_h[undone,
+                               np.argmin(fvals_h[undone], axis=1)]
+                simplex_h[undone] = np.array(nm.build_simplex(
+                    jnp.asarray(xb), scales,
+                    seed=vf.SIMPLEX_SEED + restart), np.float64)
+                eval_init(undone)
+            nit = 0
+            while nit < maxiter:
+                undone = np.where(~done_h)[0]
+                if undone.size == 0:
+                    break
+                for sel, sel_p in tiles_of(undone):
+                    unpack_to_host(sel, chunk_p(
+                        jnp.asarray(simplex_h[sel_p], dt),
+                        jnp.asarray(fvals_h[sel_p], dt),
+                        jnp.asarray(done_h[sel_p]),
+                        self._gather_arms(sel_p)))
+                nit += chunk
+
+        rows = np.arange(b)
+        ib = np.argmin(fvals_h, axis=1)
+        return dict(x=simplex_h[rows, ib], fun=fvals_h[rows, ib],
+                    converged=done_h.copy())
 
     def _make_objective(self, mapper, priors=None):
         min_vel = float(self.config['min_vel'])

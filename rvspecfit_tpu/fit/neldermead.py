@@ -8,15 +8,20 @@ problem.  This module implements the standard simplex algorithm
 (alpha=1, gamma=2, rho=0.5, sigma=0.5, scipy-compatible fatol/xatol
 convergence) natively over a batch axis:
 
-* per iteration the reflection point is evaluated for every instance,
-  then exactly one second candidate (expansion or contraction) — two
-  fused batched likelihood calls per iteration;
+* per iteration the reflection point is evaluated for every instance
+  (one batched call), then exactly one second candidate — the
+  expansion or the appropriate contraction, selected per instance —
+  in a second batched call: two objective evaluations per instance
+  per iteration, matching scipy's per-iteration cost;
 * the rare shrink step evaluates the shrunk simplex under a
   ``lax.cond`` so its cost is paid only on iterations where some
-  instance actually shrinks;
+  unconverged instance actually shrinks;
 * converged instances are frozen by masking, and the whole loop is a
   ``lax.while_loop`` that exits when all instances converge or the
-  iteration cap is reached.
+  iteration cap is reached.  For straggler compaction across microbatch
+  tiles, ``make_stepper`` exposes the jitted init/chunk programs so a
+  host driver can repack unconverged instances between chunks (see
+  fit/batch.py run_neldermead).
 """
 from __future__ import annotations
 
@@ -76,16 +81,8 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     assert np1 == n + 1
 
     if chunk is not None:
-        key = ('chunked', fun, fatol, xatol, chunk)
-        fns = _JIT_CACHE.get(key)
-        if fns is None:
-            init_fn = jax.jit(partial(_nm_init, fun, fatol=fatol,
-                                      xatol=xatol))
-            chunk_fn = jax.jit(partial(_nm_chunk, fun, fatol=fatol,
-                                       xatol=xatol, chunk=chunk))
-            fns = (init_fn, chunk_fn)
-            _JIT_CACHE[key] = fns
-        init_fn, chunk_fn = fns
+        init_fn, chunk_fn = make_stepper(fun, fatol=fatol, xatol=xatol,
+                                         chunk=chunk)
         simplex, fvals, done, alldone = init_fn(simplex, *fun_args)
         nit = 0
         while nit < maxiter and not bool(alldone):
@@ -109,6 +106,28 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     simplex, fvals, nit, done = core(simplex, *fun_args)
     return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
                 nit=nit, final_simplex=simplex)
+
+
+def make_stepper(fun, fatol=1e-3, xatol=1e-2, chunk=64):
+    """Jitted ``(init_fn, chunk_fn)`` pair for host-driven NM.
+
+    ``init_fn(simplex, *fun_args) -> (simplex, fvals, done, alldone)``
+    evaluates the starting simplex; ``chunk_fn(simplex, fvals, done,
+    *fun_args)`` advances ``chunk`` iterations.  A host driver can
+    repack unconverged instances into fewer tiles between chunks
+    (straggler compaction) — both programs are shape-polymorphic only
+    in recompilation, so keep tile shapes fixed.
+    """
+    key = ('stepper', fun, fatol, xatol, chunk)
+    fns = _JIT_CACHE.get(key)
+    if fns is None:
+        init_fn = jax.jit(partial(_nm_init, fun, fatol=fatol,
+                                  xatol=xatol))
+        chunk_fn = jax.jit(partial(_nm_chunk, fun, fatol=fatol,
+                                   xatol=xatol, chunk=chunk))
+        fns = (init_fn, chunk_fn)
+        _JIT_CACHE[key] = fns
+    return fns
 
 
 def _nm_stats(simplex, fvals):
@@ -144,14 +163,15 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
     """One NM iteration on an UNSORTED simplex.
 
     Best/worst rows are selected with one-hot contractions (no argsort
-    / gather / scatter), and every candidate of the iteration —
-    reflection, expansion, both contractions AND the shrunk simplex —
-    depends only on the current simplex, so all are evaluated in ONE
-    batched call: a single objective call site keeps the compiled
-    program small (remote TPU compilers choke on the objective inlined
-    3-4 times) and turns the iteration into arithmetic selection.
-    Mathematically identical to the sorted formulation up to
-    tie-breaking (verified against scipy).
+    / gather / scatter: scatter-based bodies crash remote TPU
+    compilers, and einsum picks truncate to bfloat16 on the MXU).
+    Per iteration the objective is evaluated twice per instance —
+    the reflection point, then one selected second candidate
+    (expansion or contraction, chosen per instance with a where) —
+    and the shrunk simplex is evaluated only under a ``lax.cond``
+    when some unconverged instance actually needs the shrink step.
+    Mathematically identical to scipy's implementation up to
+    tie-breaking (verified against scipy in tests/test_neldermead.py).
     """
     alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
     n = simplex.shape[2]
@@ -161,24 +181,18 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
     centroid = (jnp.sum(simplex, axis=1) - worst) / n
 
     xr = centroid + alpha * (centroid - worst)
-    xe = centroid + gamma * (xr - centroid)
-    xc_out = centroid + rho * (xr - centroid)
-    xc_in = centroid - rho * (centroid - worst)
-    shrunk = best[:, None, :] + sigma * (simplex - best[:, None, :])
-    cand = jnp.concatenate(
-        [xr[:, None, :], xe[:, None, :], xc_out[:, None, :],
-         xc_in[:, None, :], shrunk], axis=1)            # (B, 4+n+1, n)
-    fcand = fun(cand, *fun_args)                        # (B, 4+n+1)
-    fr, fe, fco, fci = (fcand[:, 0], fcand[:, 1], fcand[:, 2],
-                        fcand[:, 3])
-    f_shr = fcand[:, 4:]
+    fr = fun(xr[:, None, :], *fun_args)[:, 0]           # (B,)
 
     expand = fr < f_best
     contract_out = (fr >= f_second) & (fr < f_worst)
     contract_in = fr >= f_worst
+
+    xe = centroid + gamma * (xr - centroid)
+    xc_out = centroid + rho * (xr - centroid)
+    xc_in = centroid - rho * (centroid - worst)
     x2 = jnp.where(expand[:, None], xe,
                    jnp.where(contract_in[:, None], xc_in, xc_out))
-    f2 = jnp.where(expand, fe, jnp.where(contract_in, fci, fco))
+    f2 = fun(x2[:, None, :], *fun_args)[:, 0]           # (B,)
 
     # accept logic per scipy:
     #  - fr < f_best: take min(fr, fe) point
@@ -198,6 +212,17 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
     simplex_upd = simplex * (1 - replace)[:, :, None] \
         + replace[:, :, None] * new_point[:, None, :]
     fvals_upd = fvals * (1 - replace) + replace * new_f[:, None]
+
+    # shrink: rare — evaluate the shrunk simplex only when some live
+    # instance needs it (lax.cond skips the whole batched call
+    # otherwise); converged instances never trigger it
+    shrunk = best[:, None, :] + sigma * (simplex - best[:, None, :])
+    need_shrink = jnp.any(shrink & ~done)
+    f_shr = jax.lax.cond(
+        need_shrink,
+        lambda s: fun(s, *fun_args),
+        lambda s: jnp.zeros_like(fvals),
+        shrunk)
     simplex_upd = jnp.where(shrink[:, None, None], shrunk, simplex_upd)
     fvals_upd = jnp.where(shrink[:, None], f_shr, fvals_upd)
 

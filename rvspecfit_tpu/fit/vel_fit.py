@@ -347,7 +347,13 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
             logging.warning('Maximum number of NM restarts reached')
             minimize_success = False
             break
-        simplex = nmres['final_simplex']
+        # restart with a FRESH randomized simplex around the current
+        # best: a converged-but-not-accepted simplex has collapsed, and
+        # re-feeding it (what the reference does, vel_fit.py:643) just
+        # replays the collapse; fresh vertices actually escape it
+        simplex = nm.build_simplex(jnp.asarray(xbest[None]),
+                                   mapper.scales(),
+                                   seed=SIMPLEX_SEED + curiter)
 
     # ---- stage 3: optional gradient polish (exact AD gradients) ----
     if second_minimizer:
