@@ -24,12 +24,12 @@ import time
 
 import numpy as np
 import scipy.interpolate
-import scipy.optimize
 import scipy.signal
 import scipy.stats
 
 from rvspecfit_tpu import serializer
 from rvspecfit_tpu import __version__ as git_rev
+from rvspecfit_tpu.ops import continuum as continuum_mod
 from rvspecfit_tpu.ops import vsini as vsini_mod
 from rvspecfit_tpu.pipeline.make_interpol import SPECS_H5_NAME
 
@@ -92,36 +92,13 @@ def get_ccf_config(logl0=None, logl1=None, npoints=None, splinestep=1000,
     return ret
 
 
-def _continuum_model(p, nodes, lam):
-    spl = scipy.interpolate.UnivariateSpline(nodes, p, s=0, k=2)
-    return np.exp(np.clip(spl(lam), -100, 100))
-
-
-def _continuum_resid(p, nodes, lam, spec, espec):
-    return (_continuum_model(p, nodes, lam) - spec) / espec
-
-
 def get_continuum(lam0, spec0, espec0, ccfconf=None):
-    """Robust smooth continuum: quadratic spline in log-flux with
-    nodes every splinestep km/s, soft-L1 least squares
-    (reference: make_ccf.py:105-152)."""
-    lammin = lam0.min()
-    logstep = np.log(1 + ccfconf['splinestep'] / 3e5)
-    n = int(np.ceil(np.log(lam0.max() / lammin) / logstep))
-    nodes = lammin * np.exp(np.arange(n) * logstep)
-    nodesedges = lammin * np.exp((-0.5 + np.arange(n + 1)) * logstep)
-    medspec = np.median(spec0)
-    if medspec <= 0:
-        medspec = abs(medspec) or 1.0
-        logging.warning('Spectrum has non-positive median')
-    bs = scipy.stats.binned_statistic(lam0, spec0, 'median',
-                                      bins=nodesedges)
-    p0 = np.log(np.maximum(bs.statistic, 1e-3 * medspec))
-    p0[~np.isfinite(p0)] = np.log(medspec)
-    res = scipy.optimize.least_squares(
-        _continuum_resid, p0, loss='soft_l1',
-        args=(nodes, lam0, spec0, espec0))
-    return _continuum_model(res['x'], nodes, lam0)
+    """Robust smooth continuum of one spectrum: quadratic spline in
+    log-flux with nodes every splinestep km/s, soft-L1 loss.  Thin
+    single-spectrum wrapper over the batched IRLS fitter
+    (ops/continuum.py; reference semantics: make_ccf.py:105-152)."""
+    return continuum_mod.fit_continuum(lam0, spec0, espec0,
+                                       ccfconf=ccfconf)
 
 
 def preprocess_model(logl, lammodel, model0, vsini=None, ccfconf=None):
@@ -176,79 +153,26 @@ def preprocess_model_list(lammodels, models, params, ccfconf, vsinis=None):
 
 def interp_masker(lam, spec, badmask):
     """Fill bad pixels by linear interpolation from good neighbors
-    (edges use the nearest good value; reference: make_ccf.py:288-327)."""
-    spec1 = np.array(spec)
-    xbad = np.nonzero(badmask)[0]
-    xgood = np.nonzero(~badmask)[0]
-    if len(xgood) == 0:
-        logging.warning('All pixels masked for CCF preprocessing')
-        spec1[~np.isfinite(spec1)] = 1
-        return spec1
-    if len(xbad) == 0:
-        return spec1
-    pos = np.searchsorted(xgood, xbad)
-    left = pos == 0
-    right = pos == len(xgood)
-    mid = ~left & ~right
-    l1 = lam[xgood[pos[mid] - 1]]
-    l2 = lam[xgood[pos[mid]]]
-    s1 = spec[xgood[pos[mid] - 1]]
-    s2 = spec[xgood[pos[mid]]]
-    l0 = lam[xbad[mid]]
-    spec1[xbad[left]] = spec[xgood[0]]
-    spec1[xbad[right]] = spec[xgood[-1]]
-    spec1[xbad[mid]] = (-(l1 - l0) * s2 + (l2 - l0) * s1) / (l2 - l1)
-    return spec1
+    (edges use the nearest good value).  Single-spectrum wrapper over
+    the vectorized infill (ops/continuum.py; reference semantics:
+    make_ccf.py:288-327)."""
+    return continuum_mod.infill_bad_pixels(
+        lam, np.asarray(spec)[None, :],
+        np.asarray(badmask, bool)[None, :])[0]
 
 
 def preprocess_data(lam, spec0, espec, ccfconf=None, badmask=None,
                     maxerr=10):
     """Mask/infill/normalize an observed spectrum and resample onto
-    the CCF log-lambda grid with ivar propagation
-    (reference: make_ccf.py:330-414)."""
-    ccf_logl = np.linspace(ccfconf['logl0'], ccfconf['logl1'],
-                           ccfconf['npoints'])
-    ccf_lam = np.exp(ccf_logl)
-    curespec = np.array(espec)
-    curspec = np.array(spec0)
-    if badmask is None:
-        badmask = np.zeros(len(curespec), dtype=bool)
-    else:
-        badmask = np.array(badmask, dtype=bool)
-    filtspec = scipy.signal.medfilt(curspec, 11)
-    mederr = np.nanmedian(curespec)
-    if ccfconf['continuum']:
-        badmask |= (curespec > maxerr * mederr) | (filtspec <= 0)
-    curespec[badmask] = 1e9 * mederr
-    curspec = interp_masker(lam, curspec, badmask)
-    if ccfconf['continuum']:
-        cont = get_continuum(lam, curspec, curespec, ccfconf=ccfconf)
-    else:
-        cont = np.ones(len(lam))
-    curivar = 1.0 / curespec**2
-    curivar[badmask] = 0
-    medv = np.median(curspec)
-    if medv > 0:
-        cont = np.maximum(1e-2 * medv, cont)
-    else:
-        cont = np.maximum(cont, 1)
-    c_spec = np.asarray(spec0) / cont
-    curivar = cont**2 * curivar
-    c_spec[badmask] = 0
-
-    xind = np.searchsorted(lam, ccf_lam) - 1
-    insub = (xind >= 0) & (xind <= len(lam) - 2)
-    res1 = np.zeros(len(ccf_logl))
-    res2 = np.zeros(len(ccf_logl))
-    li = xind[insub]
-    ri = li + 1
-    rw = (ccf_lam[insub] - lam[li]) / (lam[ri] - lam[li])
-    lw = 1 - rw
-    res1[insub] = lw * c_spec[li] + rw * c_spec[ri]
-    liv, riv = curivar[li], curivar[ri]
-    res2[insub] = liv * riv / (lw**2 * riv + rw**2 * liv +
-                               ((liv * riv) == 0).astype(int))
-    return res1, res2
+    the CCF log-lambda grid with ivar propagation.  Single-spectrum
+    wrapper over the batched preprocessing (ops/continuum.py;
+    reference semantics: make_ccf.py:330-414)."""
+    res1, res2 = continuum_mod.preprocess_batch(
+        lam, np.asarray(spec0)[None, :], np.asarray(espec)[None, :],
+        badmask=None if badmask is None else
+        np.asarray(badmask, bool)[None, :],
+        ccfconf=ccfconf, maxerr=maxerr)
+    return res1[0], res2[0]
 
 
 def ccf_executor(spec_setup, ccfconf, prefix=None, oprefix=None, every=10,
