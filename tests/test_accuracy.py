@@ -3,6 +3,9 @@ python -m rvspecfit_tpu.validation --ntrials 1000)."""
 import numpy as np
 
 from rvspecfit_tpu import validation, simulation
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_pull_distribution_small():

@@ -69,6 +69,7 @@ def test_batched_chisq_matches_single(tm, fiber_data):
                                    err_msg=f'fiber {i}')
 
 
+@pytest.mark.slow
 def test_batched_fit_recovers_velocities(tm, fiber_data):
     lam, flux, ivar, v0s, truths = fiber_data
     arm = BatchArm('config1', lam, flux, ivar)

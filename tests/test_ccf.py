@@ -2,6 +2,7 @@
 pipeline-built CCF template bank, including a golden comparison of
 the batched device CCF math against a direct numpy implementation."""
 import numpy as np
+import pytest
 
 from conftest import SETUP_NAME
 from rvspecfit_tpu import simulation
@@ -65,6 +66,7 @@ def test_ccf_matches_numpy_chain(pipeline_library):
                                res['best_ccf'], rtol=2e-4, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_ccf_feeds_process(pipeline_library):
     """CCF guess -> vel_fit.process: the reference two-stage flow."""
     from rvspecfit_tpu.fit import vel_fit

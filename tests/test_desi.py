@@ -4,6 +4,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import DESI_ARMS
 from rvspecfit_tpu import simulation
 from rvspecfit_tpu.io import fitsio

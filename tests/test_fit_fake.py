@@ -6,6 +6,8 @@ The acceptance gate mirrors the reference (tests/test_fit_fake.py:48):
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import synth
 from rvspecfit_tpu.fit.spec_data import SpecData
 from rvspecfit_tpu.fit import vel_fit

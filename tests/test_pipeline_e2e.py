@@ -14,6 +14,9 @@ from rvspecfit_tpu.pipeline import library
 from rvspecfit_tpu.fit.spec_data import SpecData
 from rvspecfit_tpu.fit import vel_fit
 from rvspecfit_tpu.utils import freeze
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _config(template_lib):

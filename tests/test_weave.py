@@ -4,6 +4,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rvspecfit_tpu import simulation
 from rvspecfit_tpu.io import fitsio
 from rvspecfit_tpu.pipeline import read_grid, make_interpol, make_nd, \
