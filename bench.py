@@ -3,10 +3,13 @@
 
 Synthesizes a DESI-like exposure (3 arms, common per-arm wavelength
 grids, 500 fibers of random stars with injected RVs), then runs the
-full fitting pipeline on the default JAX backend (the real TPU when
+full production fitting pipeline — the same stages as the DESI driver
+(survey/desi.py) — on the default JAX backend (the real TPU when
 available):
 
-    velocity grid scan -> batched Nelder-Mead over all fibers ->
+    batched CCF initialization (robust continuum + FFT correlation
+    against the template bank, all fibers at once) ->
+    batched Nelder-Mead over all fibers ->
     iterative velocity refinement -> AD Hessian parameter errors
 
 and reports steady-state throughput in fibers/second (one warm-up
@@ -55,6 +58,7 @@ def main():
 
     from rvspecfit_tpu import simulation
     from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
+    from rvspecfit_tpu.fit import ccf as ccf_mod
     from rvspecfit_tpu.fit import vel_fit
     from rvspecfit_tpu.utils import freeze
 
@@ -71,22 +75,34 @@ def main():
     arms = [BatchArm(n, lam, fl, iv)
             for n, (lam, fl, iv) in arms_data.items()]
     templates = {n: tm for n in arms_data}
-    log(f'setup (templates + exposure): {time.time() - t0:.1f} s')
+    # offline CCF artifact equivalent (rvst_make_ccf), built once
+    bank = simulation.build_ccf_bank(6, 6, 6, 4, npix=4096,
+                                     lam0=4550.0, lam1=5450.0, every=8)
+    banks = {n: bank for n in arms_data}
+    log(f'setup (templates + exposure + ccf bank): '
+        f'{time.time() - t0:.1f} s')
 
-    start_params = np.tile([6000.0, 3.0, -1.0, 0.5], (NFIBERS, 1))
-    vel_grid = np.arange(-1000.0, 1000.0, 5.0)
     mapper = vel_fit.ParamMapper(
         tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
         [], None, False)
 
     def pipeline(bf, verbose=False):
         t = [time.time()]
-        scan = bf.scan_velocities(vel_grid, start_params)
+        # CCF initialization over the whole exposure (the production
+        # first stage: batched robust continuum + FFT correlation)
+        with np.errstate(divide='ignore'):
+            cres = ccf_mod.fit_batch(
+                [(a.name, a.lam, a.flux,
+                  1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), None)
+                 for a in arms], config, banks=banks, microbatch=125)
+        start_params = cres['best_params']
+        start_vel = cres['best_vel']
         t.append(time.time())
         # f32 chi2 noise floor is ~1e-2; tighter fatol makes
         # stragglers grind to maxiter without moving the optimum
         # (velocity is re-measured by the refinement stage anyway)
-        nmres = bf.run_neldermead(mapper, scan['best_vel'], nm_chunk=64,
+        x0 = np.concatenate([start_vel[:, None], start_params], axis=1)
+        nmres = bf.run_neldermead(mapper, start_vel, x0=x0, nm_chunk=64,
                                   fatol=1e-2, maxiter=768)
         t.append(time.time())
         vel_b, params_b, _ = mapper.unpack_host(nmres['x'])
@@ -96,7 +112,7 @@ def main():
                                          parnames=tm.parnames)
         t.append(time.time())
         if verbose:
-            names = ['scan', 'NM', 'refine', 'hessian']
+            names = ['ccf', 'NM', 'refine', 'hessian']
             log('phases: ' + ' '.join(
                 f'{n}={t[i+1]-t[i]:.1f}s' for i, n in enumerate(names)))
         return ref, params_b, errs

@@ -55,10 +55,14 @@ def get_ccf_info(spec_setup, config):
             lib, make_ccf.get_ccf_mod_name(spec_setup, continuum)),
             mmap_mode='r')
         # device-resident complex template bank (complex64 on f32
-        # backends, complex128 when x64 is enabled)
-        cdtype = jnp.zeros(0, jnp.complex128).dtype
-        fft_d = jnp.asarray(np.asarray(dat['fft']), dtype=cdtype)
-        fft2_d = jnp.asarray(np.asarray(dat['fft2']), dtype=cdtype)
+        # backends, complex128 when x64 is enabled); cast on the HOST —
+        # a c128 -> c64 convert on device is unimplemented on some TPU
+        # runtimes
+        cdtype = np.dtype(np.complex128
+                          if jnp.zeros(0).dtype == jnp.float64
+                          else np.complex64)
+        fft_d = jnp.asarray(np.asarray(dat['fft'], cdtype))
+        fft2_d = jnp.asarray(np.asarray(dat['fft2'], cdtype))
         CCFCache.data[key] = dict(info=info, fft=fft_d, fft2=fft2_d,
                                   models=mods)
     e = CCFCache.data[key]
@@ -99,6 +103,182 @@ def _vel_axis(ccfconf, npoints_spec, maxvel):
     if not np.all(np.diff(sub) > 0):
         raise RuntimeError('Invalid CCF velocity grid')
     return ind, sub, step
+
+
+@jax.jit
+def _ccf_batch_cont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
+    """(T,F) bank x (B,F) exposure -> (B,T,nvel) chi2 contributions."""
+    c0 = jnp.fft.irfft(tfft[None, :, :] * sfft_conj[:, None, :], axis=2)
+    c1 = jnp.fft.irfft(t2fft[None, :, :] * ivfft_conj[:, None, :], axis=2)
+    chi = -2.0 * c0 + c1
+    return (chi[:, :, idx[0]] * w[0][None, None, :]
+            + chi[:, :, idx[1]] * w[1][None, None, :])
+
+
+@jax.jit
+def _ccf_batch_nocont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
+    c0 = jnp.fft.irfft(tfft[None, :, :] * sfft_conj[:, None, :], axis=2)
+    c1 = jnp.fft.irfft(t2fft[None, :, :] * ivfft_conj[:, None, :], axis=2)
+    chi = -(c0 * c0) / c1
+    return (chi[:, :, idx[0]] * w[0][None, None, :]
+            + chi[:, :, idx[1]] * w[1][None, None, :])
+
+
+@jax.jit
+def _ccf_reduce(chis, vel_grid):
+    """Per-fiber best template + parabola-refined velocity.
+
+    chis : (B, T, nvel) summed arm contributions; vel_grid uniform.
+    Returns (best_id (B,), best_vel (B,), best_chi (B,), best_row
+    (B, nvel) — the best template's CCF curve)."""
+    nvel = chis.shape[2]
+    tmin = jnp.min(chis, axis=2)                      # (B, T)
+    tid = jnp.argmin(tmin, axis=1)                    # (B,)
+    row = jnp.take_along_axis(
+        chis, tid[:, None, None], axis=1)[:, 0, :]    # (B, nvel)
+    pix = jnp.argmin(row, axis=1)
+    pixc = jnp.clip(pix, 1, nvel - 2)
+    take = lambda off: jnp.take_along_axis(
+        row, (pixc + off)[:, None], axis=1)[:, 0]
+    y0, y1, y2 = take(-1), take(0), take(1)
+    a2 = y0 - 2 * y1 + y2
+    dv = vel_grid[1] - vel_grid[0]
+    refined = vel_grid[pixc] + jnp.where(a2 > 0,
+                                         0.5 * (y0 - y2) / a2 * dv, 0.0)
+    interior = (pix > 0) & (pix < nvel - 1)
+    best_vel = jnp.where(interior, refined, vel_grid[pix])
+    best_chi = jnp.take_along_axis(row, pix[:, None], axis=1)[:, 0]
+    return tid, best_vel, best_chi, row
+
+
+def prepare_arm_batch(setup, lam, fluxes, especs, badmask, config,
+                      banks=None):
+    """Host-side per-arm preparation of a stacked exposure for the
+    batched CCF: preprocess all fibers at once (batched robust
+    continuum), FFT, and precompute the velocity-grid gather.
+
+    Returns a dict consumed by fit_batch."""
+    maxvel = config.get('max_vel') or 1000
+    if banks is not None and setup in banks:
+        tfft, t2fft, info = banks[setup]
+        # cast on the HOST: a c128 -> c64 convert on device is
+        # unimplemented on some TPU runtimes
+        cdtype = np.dtype(np.complex128
+                          if jnp.zeros(0).dtype == jnp.float64
+                          else np.complex64)
+        tfft = jnp.asarray(np.asarray(tfft, cdtype))
+        t2fft = jnp.asarray(np.asarray(t2fft, cdtype))
+        models = None
+    else:
+        tfft, t2fft, models, info = get_ccf_info(setup, config)
+    ccfconf = info['ccfconf']
+
+    from rvspecfit_tpu.ops import continuum as continuum_mod
+    proc, pivar = continuum_mod.preprocess_batch(
+        lam, np.atleast_2d(fluxes), np.atleast_2d(especs),
+        badmask=badmask, ccfconf=ccfconf)
+    sse = (proc**2 * pivar).sum(axis=1)               # (B,)
+    sfft = np.fft.rfft(proc * pivar, axis=1)
+    ivfft = np.fft.rfft(pivar, axis=1)
+
+    nvelgrid = 2 * int(maxvel / (config.get('vel_step0') or 2)) + 1
+    vel_grid = np.linspace(-maxvel, maxvel, nvelgrid)
+    ind, sub_vels, step = _vel_axis(ccfconf, proc.shape[1], maxvel)
+    pos = np.clip(np.searchsorted(sub_vels, vel_grid) - 1, 0,
+                  len(sub_vels) - 2)
+    wr = np.clip((vel_grid - sub_vels[pos])
+                 / (sub_vels[pos + 1] - sub_vels[pos]), 0.0, 1.0)
+    return dict(setup=setup, info=info, models=models, velstep=step,
+                tfft=tfft, t2fft=t2fft, sfft=sfft, ivfft=ivfft, sse=sse,
+                vel_grid=vel_grid,
+                idx=(jnp.asarray(ind[pos]), jnp.asarray(ind[pos + 1])),
+                w=(jnp.asarray(1 - wr), jnp.asarray(wr)),
+                continuum=bool(ccfconf['continuum']))
+
+
+def fit_batch(arm_batches, config, banks=None, microbatch=64):
+    """Fiber-batched CCF over a whole stacked exposure.
+
+    The TPU-native replacement for the reference's per-fiber CCF
+    process pool (reference: py/rvspecfit/desi_fit.py:1215-1218 +
+    fitter_ccf.py:62-253): every (fiber x template x velocity)
+    chi-square of the exposure is computed in a few batched
+    rfft-multiply-irfft device programs, and only per-fiber best
+    rows come back to the host.
+
+    Parameters
+    ----------
+    arm_batches : list of (setup, lam (npix,), fluxes (B, npix),
+        especs (B, npix), badmask (B, npix) bool or None) tuples
+    banks : optional {setup: (tfft, t2fft, info)} in-memory template
+        banks (bypasses the on-disk library; used by bench/synthetic
+        runs)
+    microbatch : fiber tile size per device program (memory bound)
+
+    Returns
+    -------
+    dict with parnames, best_params (B, ndim), best_vel (B,),
+    best_vsini (B,; NaN where the bank template had no rotation),
+    best_id (B,), best_chi (B,), vel_grid.
+    """
+    prep = [prepare_arm_batch(s, lam, fl, er, bm, config, banks=banks)
+            for s, lam, fl, er, bm in arm_batches]
+    info0 = prep[0]['info']
+    for p in prep[1:]:
+        cur = p['info']
+        if (list(info0['parnames']) != list(cur['parnames'])
+                or not np.array_equal(info0['params'], cur['params'])
+                or not np.array_equal(info0['vsinis'], cur['vsinis'])):
+            raise RuntimeError('CCF template parameters differ between '
+                               'setups')
+    nf = prep[0]['sfft'].shape[0]
+    vel_grid = prep[0]['vel_grid']
+    vel_grid_d = jnp.asarray(vel_grid)
+    total_sse = np.sum([p['sse'] for p in prep], axis=0)   # (B,)
+
+    best_id = np.zeros(nf, dtype=np.int64)
+    best_vel = np.zeros(nf)
+    best_chi = np.zeros(nf)
+    for i0 in range(0, nf, microbatch):
+        i1 = min(i0 + microbatch, nf)
+        # pad the tail tile to the full tile size: one compile total
+        pad = microbatch - (i1 - i0)
+        contributions = None
+        for p in prep:
+            cdtype = p['tfft'].dtype
+            sl = slice(i0, i1)
+            sfft_c = np.conj(p['sfft'][sl])
+            ivfft_c = np.conj(p['ivfft'][sl])
+            if pad:
+                sfft_c = np.pad(sfft_c, ((0, pad), (0, 0)))
+                ivfft_c = np.pad(ivfft_c, ((0, pad), (0, 0)))
+            fun = _ccf_batch_cont if p['continuum'] else _ccf_batch_nocont
+            cur = fun(p['tfft'], p['t2fft'],
+                      jnp.asarray(np.asarray(sfft_c, cdtype)),
+                      jnp.asarray(np.asarray(ivfft_c, cdtype)),
+                      p['idx'], p['w'])
+            contributions = cur if contributions is None else \
+                contributions + cur
+        tid, bvel, bchi, _ = _ccf_reduce(contributions, vel_grid_d)
+        n = i1 - i0
+        best_id[i0:i1] = np.asarray(tid)[:n]
+        best_vel[i0:i1] = np.asarray(bvel)[:n]
+        best_chi[i0:i1] = np.asarray(bchi)[:n] + total_sse[i0:i1]
+
+    params = np.asarray(info0['params'])[best_id]          # (B, ndim)
+    vsinis = np.asarray(info0['vsinis'], np.float64)[best_id]
+    if info0.get('vsini_is_none') is not None:
+        none_mask = np.asarray(info0['vsini_is_none'],
+                               bool)[best_id]
+        vsinis = np.where(none_mask, np.nan, vsinis)
+    if not np.isfinite(best_chi).all():
+        bad = ~np.isfinite(best_chi)
+        logging.error('Cross-correlation failed for %d fibers',
+                      int(bad.sum()))
+    return dict(parnames=[str(p) for p in info0['parnames']],
+                best_params=params, best_vel=best_vel,
+                best_vsini=vsinis, best_id=best_id, best_chi=best_chi,
+                vel_grid=vel_grid)
 
 
 def fit(specdata, config):
@@ -153,8 +333,8 @@ def fit(specdata, config):
         fun = _ccf_chisq_continuum if ccfconf['continuum'] else \
             _ccf_chisq_nocont
         cur = fun(tfft, t2fft,
-                  jnp.asarray(sfft.conj(), cdtype),
-                  jnp.asarray(ivfft.conj(), cdtype), idx, w)
+                  jnp.asarray(np.asarray(sfft.conj(), cdtype)),
+                  jnp.asarray(np.asarray(ivfft.conj(), cdtype)), idx, w)
         contributions = cur if contributions is None else \
             contributions + cur
 

@@ -40,16 +40,20 @@ SIMPLEX_SEED = 20260816
 
 class VSiniMapper:
     """Internal <-> physical vsini with quadratic out-of-range penalty
-    (reference: py/rvspecfit/vel_fit.py:97-116)."""
+    (reference: py/rvspecfit/vel_fit.py:97-116).  ``min_vsini``
+    (config key, reference vel_fit.py:566) floors the fitted rotation:
+    below ~0.01 km/s broadening is unresolvable and the kernel width
+    degenerates, so the optimizer is kept out of that regime."""
 
-    def __init__(self, max_vsini):
+    def __init__(self, max_vsini, min_vsini=0.0):
         self.max_vsini = float(max_vsini)
+        self.min_vsini = float(min_vsini)
 
     def to_internal(self, vsini):
-        return float(np.clip(vsini, 0, self.max_vsini))
+        return float(np.clip(vsini, self.min_vsini, self.max_vsini))
 
     def to_vsini(self, x):
-        v = jnp.clip(x, 0.0, self.max_vsini)
+        v = jnp.clip(x, self.min_vsini, self.max_vsini)
         penalty = (v - x)**2
         return v, penalty
 
@@ -104,7 +108,8 @@ class ParamMapper:
         vel = pvec[:, 0]
         idx = 1
         if self.fitVsini:
-            vsini = np.clip(pvec[:, 1], 0, self.vsiniMapper.max_vsini)
+            vsini = np.clip(pvec[:, 1], self.vsiniMapper.min_vsini,
+                            self.vsiniMapper.max_vsini)
             idx = 2
         elif 'vsini' in self.fixParam:
             vsini = np.full(b, float(self.paramDict0['vsini']))
@@ -303,7 +308,9 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
 
     fitVsini = 'vsini' in paramDict0 and 'vsini' not in fixParam
     use_vsini = 'vsini' in paramDict0
-    vsiniMapper = VSiniMapper(config['max_vsini']) if fitVsini else None
+    vsiniMapper = VSiniMapper(config['max_vsini'],
+                              config.get('min_vsini') or 0.0) \
+        if fitVsini else None
 
     setup0 = specdata[0].name
     specParamNames = templates[setup0].parnames

@@ -363,9 +363,11 @@ def _image_hdu_bytes(data, extra_cards, primary, name=None):
     return out
 
 
-def _table_hdu_bytes(columns, extra_cards, name=None):
+def _table_hdu_bytes(columns, extra_cards, name=None, units=None,
+                     comments=None):
     """columns: list of (name, ndarray) — scalar or (nrow, k) arrays,
-    or unicode/byte string arrays."""
+    or unicode/byte string arrays.  ``units``/``comments`` optionally
+    map column names to TUNITn values / TTYPEn comments."""
     fields = []
     for cname, col in columns:
         col = np.asarray(col)
@@ -410,9 +412,13 @@ def _table_hdu_bytes(columns, extra_cards, name=None):
              ('NAXIS2', nrows, 'number of rows'),
              ('PCOUNT', 0, ''), ('GCOUNT', 1, ''),
              ('TFIELDS', len(fields), '')]
+    units = units or {}
+    comments = comments or {}
     for i, (cname, tform, _, _) in enumerate(fields, start=1):
-        cards.append((f'TTYPE{i}', cname, ''))
+        cards.append((f'TTYPE{i}', cname, str(comments.get(cname, ''))))
         cards.append((f'TFORM{i}', tform, ''))
+        if cname in units and units[cname]:
+            cards.append((f'TUNIT{i}', str(units[cname]), ''))
     if name:
         cards.append(('EXTNAME', name, ''))
     cards += list(extra_cards or [])
@@ -443,7 +449,9 @@ def write(filename, hdu_specs, overwrite=True):
             if i == 0:
                 chunks.append(_image_hdu_bytes(None, [], primary=True))
             chunks.append(_table_hdu_bytes(spec['data'], cards,
-                                           name=spec.get('name')))
+                                           name=spec.get('name'),
+                                           units=spec.get('units'),
+                                           comments=spec.get('comments')))
         else:
             raise ValueError(f'unknown HDU kind {kind!r}')
     tmp = filename + '.tmp'

@@ -21,9 +21,12 @@ optax with TPU-mesh scale-out:
 """
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import logging
 import os
+import shlex
+import sys
 
 import numpy as np
 import jax
@@ -31,7 +34,9 @@ import jax.numpy as jnp
 import optax
 
 from rvspecfit_tpu.interp import nn as nn_mod
+from rvspecfit_tpu.interp.mapper import LogMapper
 from rvspecfit_tpu import serializer
+from rvspecfit_tpu import __version__ as git_rev
 
 
 def trainable_params(state: nn_mod.NNState):
@@ -247,3 +252,155 @@ def train_interpolator(vecs_mapped, log_specs, width=256, nlayers=3,
     history['t_std'] = t_std
     history['spread0'] = spread0
     return final, history
+
+
+# --------------------- pipeline CLI + artifacts ---------------------
+
+NN_STATE_NAME = 'nnstate_%s.h5'
+NN_TMP_STATE_NAME = 'tmp_nnstate_%s.h5'
+NN_PRED_NAME = 'pred_%s.h5'
+
+
+def execute(setup, directory='./', width=256, nlayers=2, npc=64,
+            lr0=1e-3, min_lr=1e-8, batch_size=100, num_epochs=600,
+            patience=20, pca_init=False, resume=False, revision='',
+            validation_frac=0.0, n_subset_data=None, mask_ids=None,
+            cmdline='', seed=22, mesh=None):
+    """Train the NN interpolator for one setup and write the library
+    artifacts consumed by pipeline.library.load_template_model:
+
+    * ``nnstate_{setup}.h5`` — the versioned NN checkpoint;
+    * ``interp_{setup}.h5``  — the generic descriptor (lam, parnames,
+      interpolation_type='nn', nn_file pointer);
+    * ``pred_{setup}.h5``    — predictions dump for QA.
+
+    Equivalent of the reference trainer's artifact tail
+    (reference: py/rvspecfit/nn/train_interpolator.py:361-403).
+    """
+    from rvspecfit_tpu.pipeline.make_interpol import SPECS_H5_NAME
+    from rvspecfit_tpu.pipeline.make_nd import INTERPOL_H5_NAME
+
+    d = serializer.load_dict_from_hdf5(
+        os.path.join(directory, SPECS_H5_NAME % setup))
+    vec = np.asarray(d['vec'], np.float64)           # (ndim, nspec)
+    specs = np.asarray(d['specs'])                   # (nspec, npix)
+    lam = np.asarray(d['lam'])
+    parnames = [str(p) for p in d['parnames']]
+    log_ids = tuple(int(x) for x in d.get('log_ids', (0,)))
+    mapper = LogMapper(log_ids)
+    vec_mapped = mapper.forward(vec.T)               # (nspec, ndim)
+    if not np.isfinite(vec_mapped).all():
+        raise RuntimeError('Mapped parameters are not finite')
+
+    train_sel = np.ones(len(specs), dtype=bool)
+    if mask_ids:
+        train_sel[list(mask_ids)] = False
+    if n_subset_data is not None:
+        rng = np.random.RandomState(44)
+        ids = np.nonzero(train_sel)[0]
+        train_sel[:] = False
+        train_sel[rng.permutation(ids)[:n_subset_data]] = True
+    logging.info('training NN for setup %s on %d/%d templates',
+                 setup, train_sel.sum(), len(specs))
+
+    ck_path = os.path.join(directory, NN_TMP_STATE_NAME % setup)
+    state, history = train_interpolator(
+        vec_mapped[train_sel], specs[train_sel], width=width,
+        nlayers=nlayers, npc=npc, lr0=lr0, min_lr=min_lr,
+        plateau_patience=patience, num_epochs=num_epochs,
+        batch_size=batch_size, pca_init=pca_init, seed=seed,
+        checkpoint_path=ck_path, resume=resume, mesh=mesh,
+        validation_frac=validation_frac)
+
+    nn_file = NN_STATE_NAME % setup
+    serializer.save_dict_to_hdf5(
+        os.path.join(directory, nn_file),
+        dict(state=nn_mod.state_to_dict(state), git_rev=git_rev,
+             revision=revision, cmdline=cmdline))
+    if os.path.exists(ck_path):
+        os.unlink(ck_path)
+
+    descriptor = dict(
+        interpolation_type='nn',
+        parnames=parnames,
+        lam=lam,
+        log_step=bool(d['log_step']),
+        log_spec=bool(d.get('log_spec', True)),
+        mapper_class='LogMapper',
+        log_ids=list(log_ids),
+        lognorms=np.asarray(d['lognorms']),
+        nn_file=nn_file,
+        nn_kwargs=dict(width=width, nlayers=nlayers, npc=npc),
+        revision=revision, git_rev=git_rev, cmdline=cmdline)
+    serializer.save_dict_to_hdf5(
+        os.path.join(directory, INTERPOL_H5_NAME % setup), descriptor)
+
+    # predictions dump for offline QA (training-loss cross-check)
+    pred = []
+    xs = jnp.asarray(vec_mapped)
+    fwd = jax.jit(nn_mod.forward)
+    for i in range(0, len(vec_mapped), 4096):
+        pred.append(np.asarray(fwd(state, xs[i:i + 4096])))
+    pred = np.concatenate(pred)
+    serializer.save_dict_to_hdf5(
+        os.path.join(directory, NN_PRED_NAME % setup),
+        dict(pred=pred, vecs=vec_mapped, dats=specs, vecs_orig=vec.T,
+             train_sel=train_sel, final_loss=history['loss'][-1],
+             cmdline=cmdline))
+    logging.info('wrote NN interpolator artifacts for setup %s '
+                 '(final loss %.5f)', setup, history['loss'][-1])
+    return state, history
+
+
+def _parse_ids(s):
+    if s is None or s == '':
+        return None
+    return [int(x) for x in s.split(',')]
+
+
+def main(args=None):
+    """Console entry point ``rvst_train_nn_interpolator``
+    (reference: py/rvspecfit/nn/train_interpolator.py:68-403)."""
+    if args is None:
+        args = sys.argv[1:]
+    cmdline = shlex.join(['rvst_train_nn_interpolator'] + list(args))
+    parser = argparse.ArgumentParser(
+        description='Train the NN template interpolator for one setup')
+    parser.add_argument('--setup', type=str, required=True)
+    parser.add_argument('--dir', type=str, default='./',
+                        help='Directory with specs_{setup}.h5; artifacts '
+                        'are written next to it')
+    parser.add_argument('--width', type=int, default=256)
+    parser.add_argument('--nlayers', type=int, default=2)
+    parser.add_argument('--npc', type=int, default=64)
+    parser.add_argument('--learning_rate0', type=float, default=1e-3)
+    parser.add_argument('--min_learning_rate', type=float, default=1e-8)
+    parser.add_argument('--batch', type=int, default=100)
+    parser.add_argument('--num_epochs', type=int, default=600)
+    parser.add_argument('--patience', type=int, default=20)
+    parser.add_argument('--pca_init', action='store_true', default=False)
+    parser.add_argument('--resume', action='store_true', default=False)
+    parser.add_argument('--cpu', action='store_true', default=False,
+                        help='Force the CPU backend')
+    parser.add_argument('--validation_fraction', type=float, default=0.0)
+    parser.add_argument('--n_subset_data', type=int, default=None)
+    parser.add_argument('--mask_ids', type=str, default=None,
+                        help='Comma-separated template indices to exclude')
+    parser.add_argument('--revision', type=str, default='')
+    args = parser.parse_args(args)
+    logging.basicConfig(level=logging.INFO)
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    execute(args.setup, directory=args.dir, width=args.width,
+            nlayers=args.nlayers, npc=args.npc, lr0=args.learning_rate0,
+            min_lr=args.min_learning_rate, batch_size=args.batch,
+            num_epochs=args.num_epochs, patience=args.patience,
+            pca_init=args.pca_init, resume=args.resume,
+            revision=args.revision,
+            validation_frac=args.validation_fraction,
+            n_subset_data=args.n_subset_data,
+            mask_ids=_parse_ids(args.mask_ids), cmdline=cmdline)
+
+
+if __name__ == '__main__':
+    main()

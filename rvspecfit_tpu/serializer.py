@@ -133,3 +133,60 @@ def load_dict_from_hdf5(filename):
         if version != CURRENT_VERSION:
             raise ValueError(f'Incompatible artifact version: {version}')
         return {k: _load_node(h5, v) for k, v in h5.items()}
+
+
+def verify_data(original, loaded, path='/'):
+    """Recursively verify that a loaded artifact matches the original
+    in structure, type and value — a round-trip integrity checker for
+    pipeline outputs (reference: py/rvspecfit/serializer.py:172-192).
+
+    Numpy scalars compare by value against Python scalars; arrays
+    compare elementwise (NaNs equal).  Returns True/False and logs the
+    first divergent path.
+    """
+    import logging
+
+    def fail(why):
+        logging.warning('verify_data mismatch at %s: %s', path, why)
+        return False
+
+    if isinstance(original, dict):
+        if not isinstance(loaded, dict):
+            return fail(f'type {type(loaded).__name__} != dict')
+        if set(original.keys()) != set(loaded.keys()):
+            return fail(f'keys {sorted(original)} != {sorted(loaded)}')
+        return all(verify_data(original[k], loaded[k], f'{path}/{k}')
+                   for k in original)
+    if original is None:
+        return loaded is None or fail('expected None')
+    if isinstance(original, str):
+        return (isinstance(loaded, str) and original == loaded) \
+            or fail('string mismatch')
+    if isinstance(original, (list, tuple)):
+        if not isinstance(loaded, (list, tuple)):
+            return fail(f'type {type(loaded).__name__} != sequence')
+        if len(original) != len(loaded):
+            return fail(f'length {len(loaded)} != {len(original)}')
+        return all(verify_data(o, l, f'{path}[{i}]')
+                   for i, (o, l) in enumerate(zip(original, loaded)))
+    if isinstance(original, np.ndarray) or hasattr(original, '__array__'):
+        o = np.asarray(original)
+        l = np.asarray(loaded)
+        if o.shape != l.shape:
+            return fail(f'shape {l.shape} != {o.shape}')
+        if o.dtype.kind in 'fc':
+            ok = bool(np.array_equal(o, l, equal_nan=True))
+        else:
+            ok = bool(np.array_equal(o, l))
+        return ok or fail('array values differ')
+    # scalars (bool/int/float/complex, possibly numpy-boxed)
+    try:
+        if isinstance(original, (bool, np.bool_)):
+            return (bool(original) == bool(loaded)) \
+                or fail('bool mismatch')
+        eq = original == loaded
+        if isinstance(original, float) and np.isnan(original):
+            eq = np.isnan(loaded)
+        return bool(eq) or fail(f'{loaded!r} != {original!r}')
+    except Exception as exc:
+        return fail(f'incomparable: {exc}')

@@ -99,6 +99,40 @@ def build_template_model(nt=6, nl=6, nf=6, na=4, npix=4096, lam0=4550.0,
                          parnames=parnames, log_ids=(0,))
 
 
+def build_ccf_bank(nt=6, nl=6, nf=6, na=4, npix=4096, lam0=4550.0,
+                   lam1=5450.0, every=4, ccf_lam0=4600.0,
+                   ccf_lam1=5400.0, step=0.25, vsinis=None):
+    """Build an in-memory CCF template bank from the synthetic grid,
+    shaped like the rvst_make_ccf artifacts (pipeline/make_ccf.py) so
+    fit/ccf.fit_batch can consume it via its ``banks`` argument —
+    used by the benchmark and synthetic end-to-end runs.
+
+    Returns (tfft, t2fft, info)."""
+    from rvspecfit_tpu.pipeline import make_ccf
+
+    lam, uvecs, idgrid, vecs, log_specs, parnames = make_template_grid(
+        nt, nl, nf, na, npix=npix, lam0=lam0, lam1=lam1)
+    specs = np.exp(log_specs)
+    raw = vecs.T.copy()
+    raw[:, 0] = 10.0**raw[:, 0]          # mapped log10(teff) -> teff
+
+    morton = make_ccf.get_mortoncurve_id(raw)
+    inds = np.argsort(morton)[::every]
+    npoints = make_ccf.to_power_two(int((ccf_lam1 - ccf_lam0) / step))
+    ccfconf = make_ccf.get_ccf_config(
+        logl0=np.log(ccf_lam0), logl1=np.log(ccf_lam1), npoints=npoints)
+    models, params, vsinis_list = make_ccf.preprocess_model_list(
+        lam, specs[inds], raw[inds], ccfconf, vsinis=vsinis)
+    ffts = np.fft.rfft(models, axis=1)
+    fft2s = np.fft.rfft(models**2, axis=1)
+    info = dict(params=params, ccfconf=ccfconf,
+                vsinis=[-1.0 if v is None else float(v)
+                        for v in vsinis_list],
+                vsini_is_none=[v is None for v in vsinis_list],
+                parnames=list(parnames))
+    return ffts, fft2s, info
+
+
 # DESI-like three-arm wavelength layout (angstrom ranges per arm)
 THREE_ARM_LAYOUT = {
     'B': (4600.0, 4900.0),

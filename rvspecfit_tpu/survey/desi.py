@@ -355,6 +355,66 @@ def get_rvs_warn_batch(results, config):
     return warn
 
 
+def get_column_desc(setups):
+    """RVTAB column (dtype, description, unit) registry
+    (reference: desi_fit.py:910-959)."""
+    kms = 'km/s'
+    desc = {
+        'VRAD': (np.float32, 'Radial velocity', kms),
+        'VRAD_ERR': (np.float32, 'Radial velocity error', kms),
+        'VRAD_SKEW': (np.float32, 'Radial velocity posterior skewness',
+                      ''),
+        'VRAD_KURT': (np.float32, 'Radial velocity posterior kurtosis',
+                      ''),
+        'VSINI': (np.float32, 'Stellar rotation velocity', kms),
+        'LOGG': (np.float32, 'Log of surface gravity', ''),
+        'TEFF': (np.float32, 'Effective temperature', 'K'),
+        'FEH': (np.float32, '[Fe/H] from template fitting', ''),
+        'ALPHAFE': (np.float32, '[alpha/Fe] from template fitting', ''),
+        'LOGG_ERR': (np.float32, 'Log of surface gravity uncertainty',
+                     ''),
+        'TEFF_ERR': (np.float32, 'Effective temperature uncertainty',
+                     'K'),
+        'FEH_ERR': (np.float32,
+                    '[Fe/H] uncertainty from template fitting', ''),
+        'ALPHAFE_ERR': (np.float32,
+                        '[alpha/Fe] uncertainty from template fitting',
+                        ''),
+        'CHISQ_TOT': (np.float64, 'Total chi-square for all arms', ''),
+        'NPIX_TOT': (np.float64,
+                     'Total number of unmasked pixels fitted', ''),
+        'CHISQ_C_TOT': (np.float64, 'Total chi-square for all arms for '
+                        'polynomial only fit', ''),
+        'CHISQ_CCF': (np.float32, 'Total chi-square from CCF fit', ''),
+        'TEFF_CCF': (np.float32, 'Effective temperature from CCF fit',
+                     'K'),
+        'LOGG_CCF': (np.float32, 'Log of surface gravity from CCF fit',
+                     ''),
+        'FEH_CCF': (np.float32, '[Fe/H] from CCF fit', ''),
+        'ALPHAFE_CCF': (np.float32, '[alpha/Fe] from CCF fit', ''),
+        'VSINI_CCF': (np.float32, 'Vsini from CCF fit', kms),
+        'VRAD_CCF': (np.float32,
+                     'Initial velocity from cross-correlation', kms),
+        'TARGETID': (np.int64, 'DESI targetid', ''),
+        'EXPID': (np.int64, 'DESI exposure id', ''),
+        'SUCCESS': (bool, 'Did we succeed or fail', ''),
+        'RVS_WARN': (np.int64, 'RVSpecFit warning flag', ''),
+        'RR_Z': (np.float64, 'Redrock redshift', ''),
+        'RR_SPECTYPE': (str, 'Redrock spectype', ''),
+        'RR_SUBTYPE': (str, 'Redrock spectroscopic subtype', ''),
+    }
+    for s in setups:
+        su = s.upper()
+        desc[f'SN_{su}'] = (np.float32, f'Median S/N in the {su} arm',
+                            '')
+        desc[f'CHISQ_{su}'] = (np.float64,
+                               f'Chi-square in the {su} arm', '')
+        desc[f'CHISQ_C_{su}'] = (
+            np.float64, f'Chi-square in the {su} arm after fitting '
+            'continuum only', '')
+    return desc
+
+
 # --------------------------- main fit -----------------------------
 
 def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
@@ -406,20 +466,27 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     start_vsini = np.zeros(nf)
     any_vsini = False
     if ccf_init:
-        for k in range(nf):
-            sds = [SpecData(a.setup, a.lam, a.flux[k],
-                            1.0 / np.sqrt(a.ivar[k]),
-                            badmask=a.badmask[k]) for a in arms]
-            try:
-                res = ccf_mod.fit(sds, config)
-                start_params[k] = [res['best_par'][p] for p in parnames]
-                start_vel[k] = res['best_vel']
-                if res['best_vsini'] is not None:
-                    start_vsini[k] = res['best_vsini']
-                    any_vsini = True
-            except Exception as exc:
-                logging.warning('CCF failed for fiber %d: %s', k, exc)
-                start_params[k] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
+        try:
+            cres = ccf_mod.fit_batch(
+                [(a.setup, a.lam, a.flux,
+                  1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), a.badmask)
+                 for a in arms], config)
+            order = [cres['parnames'].index(p) for p in parnames]
+            start_params[:] = cres['best_params'][:, order]
+            start_vel[:] = cres['best_vel']
+            vs = cres['best_vsini']
+            has_vs = np.isfinite(vs)
+            start_vsini[:] = np.where(has_vs, vs, 0.0)
+            any_vsini = bool(has_vs.any())
+            bad = ~np.isfinite(cres['best_chi'])
+            if bad.any():
+                logging.warning('CCF failed for %d fibers', bad.sum())
+                start_params[bad] = \
+                    [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
+                start_vel[bad] = 0.0
+        except Exception as exc:
+            logging.warning('batched CCF failed: %s', exc)
+            start_params[:] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
     else:
         guess = vel_fit.firstguess(
             [SpecData(a.setup, a.lam, a.flux[0],
@@ -436,7 +503,8 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     paramDict0['vsini'] = 0.01
     mapper = vel_fit.ParamMapper(
         parnames, paramDict0, [],
-        vel_fit.VSiniMapper(config['max_vsini']), True)
+        vel_fit.VSiniMapper(config['max_vsini'],
+                            config.get('min_vsini') or 0.0), True)
     x0 = np.zeros((nf, mapper.nvec))
     x0[:, 0] = start_vel
     x0[:, 1] = np.clip(start_vsini, 0, config['max_vsini'])

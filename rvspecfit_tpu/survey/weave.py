@@ -128,19 +128,24 @@ def proc_weave(fnames, config, threadid=0, nthreads=1,
     start_params = np.zeros((nf, len(parnames)))
     start_vel = np.zeros(nf)
     start_vsini = np.zeros(nf)
-    for k in range(nf):
-        sds = [SpecData(a.setup, a.lam, a.flux[k],
-                        1.0 / np.sqrt(a.ivar[k]), badmask=a.badmask[k])
-               for a in arms]
-        try:
-            res = ccf_mod.fit(sds, config)
-            start_params[k] = [res['best_par'][p] for p in parnames]
-            start_vel[k] = res['best_vel']
-            if res['best_vsini'] is not None:
-                start_vsini[k] = res['best_vsini']
-        except Exception as exc:
-            logging.warning('CCF failed for fiber %d: %s', k, exc)
-            start_params[k] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
+    try:
+        cres = ccf_mod.fit_batch(
+            [(a.setup, a.lam, a.flux,
+              1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), a.badmask)
+             for a in arms], config)
+        order = [cres['parnames'].index(p) for p in parnames]
+        start_params[:] = cres['best_params'][:, order]
+        start_vel[:] = cres['best_vel']
+        vs = cres['best_vsini']
+        start_vsini[:] = np.where(np.isfinite(vs), vs, 0.0)
+        bad = ~np.isfinite(cres['best_chi'])
+        if bad.any():
+            logging.warning('CCF failed for %d fibers', bad.sum())
+            start_params[bad] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
+            start_vel[bad] = 0.0
+    except Exception as exc:
+        logging.warning('batched CCF failed: %s', exc)
+        start_params[:] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
 
     bf = BatchedFitter(arms, templates, config, options=options,
                        use_vsini=True)
@@ -148,7 +153,8 @@ def proc_weave(fnames, config, threadid=0, nthreads=1,
     paramDict0['vsini'] = 0.01
     mapper = vel_fit.ParamMapper(
         parnames, paramDict0, [],
-        vel_fit.VSiniMapper(config['max_vsini']), True)
+        vel_fit.VSiniMapper(config['max_vsini'],
+                            config.get('min_vsini') or 0.0), True)
     x0 = np.zeros((nf, mapper.nvec))
     x0[:, 0] = start_vel
     x0[:, 1] = np.clip(start_vsini, 0, config['max_vsini'])

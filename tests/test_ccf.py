@@ -66,6 +66,37 @@ def test_ccf_matches_numpy_chain(pipeline_library):
                                res['best_ccf'], rtol=2e-4, atol=2e-2)
 
 
+def test_fit_batch_matches_per_fiber(pipeline_library):
+    """The fiber-batched device CCF agrees with the per-object path
+    fiber by fiber (same winning template, same refined velocity)."""
+    config = _config(pipeline_library)
+    v0s = [-284.0, 57.0, 310.0, -120.0, 5.0]
+    sds = [_observed(v, seed=20 + i) for i, v in enumerate(v0s)]
+
+    fluxes = np.stack([sd.spec for sd in sds])
+    especs = np.stack([sd.espec for sd in sds])
+    badmask = np.stack([sd.badmask for sd in sds])
+    res_b = ccf_mod.fit_batch(
+        [(SETUP_NAME, sds[0].lam, fluxes, especs, badmask)], config,
+        microbatch=3)
+
+    assert res_b['best_params'].shape == (len(sds), 4)
+    for i, sd in enumerate(sds):
+        res1 = ccf_mod.fit(sd, config)
+        pars1 = np.array([res1['best_par'][p]
+                          for p in res_b['parnames']])
+        np.testing.assert_allclose(res_b['best_params'][i], pars1,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(res_b['best_vel'][i],
+                                   res1['best_vel'], atol=1e-6)
+        np.testing.assert_allclose(
+            res_b['best_chi'][i],
+            np.min(res1['best_ccf']), rtol=1e-6)
+        # the CCF is an initial guess: coarse template bank + 5 km/s
+        # grid; parity with the per-fiber path is the strict check
+        assert abs(res_b['best_vel'][i] - v0s[i]) < 20
+
+
 @pytest.mark.slow
 def test_ccf_feeds_process(pipeline_library):
     """CCF guess -> vel_fit.process: the reference two-stage flow."""

@@ -41,6 +41,65 @@ def test_roundtrip(tmp_path):
     assert loaded['flag'] is True
 
 
+def test_verify_data(tmp_path):
+    data = {
+        'arr': np.arange(6, dtype=np.float64).reshape(2, 3),
+        'nested': {'a': [1, 2, 3], 'b': 'text', 'n': None},
+        'scalar': 3.5,
+        'flag': False,
+        'with_nan': np.array([1.0, np.nan]),
+    }
+    fn = str(tmp_path / 'v.h5')
+    serializer.save_dict_to_hdf5(fn, data)
+    loaded = serializer.load_dict_from_hdf5(fn)
+    assert serializer.verify_data(data, loaded)
+
+    bad = dict(loaded)
+    bad['scalar'] = 3.6
+    assert not serializer.verify_data(data, bad)
+    bad = dict(loaded)
+    bad['arr'] = loaded['arr'][:1]
+    assert not serializer.verify_data(data, bad)
+    bad = dict(loaded)
+    del bad['flag']
+    assert not serializer.verify_data(data, bad)
+
+
+def test_file_queue_modes(tmp_path):
+    """List / file / shared-lock-queue modes of utils.FileQueue
+    (reference CI: tests/scripts/desi_fit.sh:37 queue mode)."""
+    from rvspecfit_tpu import utils
+
+    q = utils.FileQueue(file_list=['a', 'b'])
+    assert list(q) == ['a', 'b']
+
+    fn = tmp_path / 'files.txt'
+    fn.write_text('f1\nf2\nf3\n')
+    q = utils.FileQueue(file_from=str(fn))
+    assert list(q) == ['f1', 'f2', 'f3']
+
+    # queue mode: two consumers pop disjoint items atomically
+    fn.write_text('f1\nf2\nf3\n')
+    q1 = utils.FileQueue(file_from=str(fn), queue=True)
+    q2 = utils.FileQueue(file_from=str(fn), queue=True)
+    got = [next(q1), next(q2), next(q1)]
+    assert sorted(got) == ['f1', 'f2', 'f3']
+    import pytest as _pytest
+    with _pytest.raises(StopIteration):
+        next(q2)
+    # the queue file still exists (empty) for other consumers
+    assert fn.exists() and fn.read_text() == ''
+
+
+def test_sharded_file_queue():
+    from rvspecfit_tpu import utils
+    files = [f'f{i}' for i in range(7)]
+    seen = []
+    for r in range(3):
+        seen += list(utils.ShardedFileQueue(files, rank=r, world=3))
+    assert sorted(seen) == sorted(files)
+
+
 def test_pickle_requires_optin(tmp_path):
     class Thing:
         pass
