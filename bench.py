@@ -75,9 +75,14 @@ def main():
     arms = [BatchArm(n, lam, fl, iv)
             for n, (lam, fl, iv) in arms_data.items()]
     templates = {n: tm for n in arms_data}
-    # offline CCF artifact equivalent (rvst_make_ccf), built once
-    bank = simulation.build_ccf_bank(6, 6, 6, 4, npix=4096,
-                                     lam0=4550.0, lam1=5450.0, every=8)
+    # offline CCF artifact equivalent (rvst_make_ccf): built in a CPU
+    # subprocess + cached on disk, exactly like the production bank
+    bank_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        '.bench_ccf_bank.npy')
+    bank = simulation.build_ccf_bank_cached(
+        bank_cache, nt=6, nl=6, nf=6, na=4, npix=4096,
+        lam0=4550.0, lam1=5450.0, every=8)
     banks = {n: bank for n in arms_data}
     log(f'setup (templates + exposure + ccf bank): '
         f'{time.time() - t0:.1f} s')
@@ -123,9 +128,15 @@ def main():
     pipeline(bf)
     log(f'warm-up (incl. compile): {time.time() - t0:.1f} s')
 
+    profile_dir = os.environ.get('RVST_PROFILE')
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     ref, params_b, errs = pipeline(bf, verbose=True)
     elapsed = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f'JAX profiler trace written to {profile_dir}')
     fps = NFIBERS / elapsed
 
     dv = ref['best_vel'] - truth['vel']

@@ -145,6 +145,7 @@ class BatchedFitter:
         # every transfer pays O(seconds) latency, so one batched
         # transfer instead of ~6 per arm matters a lot.
         host_arms = []
+        pallas_windows = []
         for a in arms:
             esp = a.espec()
             flux = np.where(np.isfinite(a.flux), a.flux, 0.0)
@@ -155,8 +156,10 @@ class BatchedFitter:
                 band_np = np.asarray(a.resolution)
             cast = lambda x: np.asarray(x, dtype=np.dtype(dtype))
             from rvspecfit_tpu.ops.spline import fractional_index
+            from rvspecfit_tpu.fit.spec_data import pallas_spline_window
             geom_a = self.templates[a.setup].geom
             idx0 = fractional_index(geom_a, a.lam)
+            pallas_windows.append(pallas_spline_window(idx0, geom_a))
             lam_over_step = None if geom_a.log_step else \
                 a.lam / geom_a.step
             host_arms.append(dict(
@@ -171,24 +174,27 @@ class BatchedFitter:
 
         self.arms = []
         self.arm_axes = []
-        for a, d in zip(arms, dev_arms):
+        for a, d, pwin in zip(arms, dev_arms, pallas_windows):
             band = None
             band_ax = None
             if d['band'] is not None:
                 noff = d['band'].shape[1]
                 w = noff // 2
-                offsets = tuple(int(w - k) for k in range(noff))
+                # row-indexed band from prepare_resolution_band:
+                # rows[k, i] multiplies input pixel i + (k - w)
+                offsets = tuple(int(k - w) for k in range(noff))
                 band = BandedMatrix(offsets, d['band'])
                 band_ax = BandedMatrix(offsets, 0)
             self.arms.append(ArmState(
                 lam=d['lam'], dvec=d['dvec'], espec_inv=d['espec_inv'],
                 polys=d['polys'], log_espec_sum=d['log_espec_sum'],
                 band=band, name=a.name, setup=a.setup,
-                idx0=d['idx0'], lam_over_step=d['lam_over_step']))
+                idx0=d['idx0'], lam_over_step=d['lam_over_step'],
+                pallas_window=pwin))
             self.arm_axes.append(ArmState(
                 lam=None, dvec=0, espec_inv=0, polys=None, log_espec_sum=0,
                 band=band_ax, name=a.name, setup=a.setup,
-                idx0=None, lam_over_step=None))
+                idx0=None, lam_over_step=None, pallas_window=pwin))
 
         self.badchi = float(10 * sum(len(a.lam) for a in arms))
         self._objective_cache = {}
@@ -249,9 +255,9 @@ class BatchedFitter:
             y = jnp.concatenate([jnp.asarray(y), reps], axis=0)
         return y
 
-    def _slice_arms(self, lo, hi, mb):
+    def _slice_arms(self, lo, hi, mb, arms=None):
         out = []
-        for arm in self.arms:
+        for arm in (self.arms if arms is None else arms):
             band = arm.band
             if band is not None:
                 band = BandedMatrix(band.offsets,
@@ -265,24 +271,45 @@ class BatchedFitter:
                 log_espec_sum=self._pad_slice(arm.log_espec_sum, lo, hi,
                                               mb),
                 band=band, name=arm.name, setup=arm.setup,
-                idx0=arm.idx0, lam_over_step=arm.lam_over_step))
+                idx0=arm.idx0, lam_over_step=arm.lam_over_step,
+                pallas_window=arm.pallas_window))
         return out
 
-    def _run_mb(self, fn, *per_fiber_args):
+    @property
+    def arms_ad(self):
+        """ArmStates with the Pallas spline kernel disabled — for the
+        differentiated paths (AD Hessian / gradient polish): the
+        windowed-DMA kernel defines no VJP, so those trace the XLA
+        gather path instead."""
+        if not hasattr(self, '_arms_ad'):
+            import dataclasses as _dc
+            self._arms_ad = [_dc.replace(a, pallas_window=None)
+                             for a in self.arms]
+            self._arm_axes_ad = [_dc.replace(a, pallas_window=None)
+                                 for a in self.arm_axes]
+        return self._arms_ad
+
+    @property
+    def arm_axes_ad(self):
+        self.arms_ad
+        return self._arm_axes_ad
+
+    def _run_mb(self, fn, *per_fiber_args, arms=None):
         """Run fn(arms, *args) over fiber tiles; concatenate outputs.
 
         With no microbatch (or a single full tile) this is a direct
         call.  Outputs may be arbitrary pytrees of arrays whose
         leading axis is the fiber axis.
         """
+        base = self.arms if arms is None else arms
         ranges, mb = self._mb_ranges()
         if len(ranges) == 1 and ranges[0][1] - ranges[0][0] == mb:
-            return fn(self.arms, *per_fiber_args)
+            return fn(base, *per_fiber_args)
         parts = []
         for lo, hi in ranges:
             args = [self._pad_slice(jnp.asarray(a), lo, hi, mb)
                     for a in per_fiber_args]
-            out = fn(self._slice_arms(lo, hi, mb), *args)
+            out = fn(self._slice_arms(lo, hi, mb, arms=base), *args)
             parts.append(jax.tree_util.tree_map(
                 lambda x: x[:hi - lo], out))
         return jax.tree_util.tree_map(
@@ -403,7 +430,8 @@ class BatchedFitter:
                 polys=arm.polys,
                 log_espec_sum=jnp.take(arm.log_espec_sum, idx, axis=0),
                 band=band, name=arm.name, setup=arm.setup,
-                idx0=arm.idx0, lam_over_step=arm.lam_over_step))
+                idx0=arm.idx0, lam_over_step=arm.lam_over_step,
+                pallas_window=arm.pallas_window))
         return out
 
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
@@ -772,13 +800,14 @@ class BatchedFitter:
 
             hess_fn = jax.jit(jax.vmap(
                 jax.hessian(half_chisq, argnums=2),
-                in_axes=(self.arm_axes, 0, 0, 0)))
+                in_axes=(self.arm_axes_ad, 0, 0, 0)))
             self._objective_cache[hkey] = hess_fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)
         hessians = np.asarray(self._run_mb(
             hess_fn, jnp.asarray(best_vel, self.dtype),
-            jnp.asarray(params, self.dtype), vs), np.float64)
+            jnp.asarray(params, self.dtype), vs, arms=self.arms_ad),
+            np.float64)
         errs = np.zeros((b, ndim))
         covars = np.zeros((b, ndim, ndim))
         bad = np.zeros(b, bool)

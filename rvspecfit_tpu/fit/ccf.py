@@ -54,33 +54,40 @@ def get_ccf_info(spec_setup, config):
         mods = np.load(os.path.join(
             lib, make_ccf.get_ccf_mod_name(spec_setup, continuum)),
             mmap_mode='r')
-        # device-resident complex template bank (complex64 on f32
-        # backends, complex128 when x64 is enabled); cast on the HOST —
-        # a c128 -> c64 convert on device is unimplemented on some TPU
-        # runtimes
-        cdtype = np.dtype(np.complex128
-                          if jnp.zeros(0).dtype == jnp.float64
-                          else np.complex64)
-        fft_d = jnp.asarray(np.asarray(dat['fft'], cdtype))
-        fft2_d = jnp.asarray(np.asarray(dat['fft2'], cdtype))
-        CCFCache.data[key] = dict(info=info, fft=fft_d, fft2=fft2_d,
-                                  models=mods)
+        # device-resident template bank, shipped as stacked
+        # (real, imag) FLOAT arrays and combined into complex inside
+        # the jitted programs: complex host->device transfers wedge
+        # some TPU runtimes (axon), float transfers never do
+        fdtype = jnp.zeros(0).dtype
+        pack = lambda c: jnp.asarray(np.stack(
+            [np.asarray(c).real, np.asarray(c).imag]).astype(fdtype))
+        CCFCache.data[key] = dict(info=info, fft=pack(dat['fft']),
+                                  fft2=pack(dat['fft2']), models=mods)
     e = CCFCache.data[key]
     return e['fft'], e['fft2'], e['models'], e['info']
 
 
+def _cplx(ri):
+    """(2, ...) stacked real/imag floats -> complex (in-graph)."""
+    return jax.lax.complex(ri[0], ri[1])
+
+
 @jax.jit
 def _ccf_chisq_continuum(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
-    c0 = jnp.fft.irfft(tfft * sfft_conj[None, :], axis=1)
-    c1 = jnp.fft.irfft(t2fft * ivfft_conj[None, :], axis=1)
+    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
+        _cplx(ivfft_conj)
+    c0 = jnp.fft.irfft(tf * sf[None, :], axis=1)
+    c1 = jnp.fft.irfft(t2 * iv[None, :], axis=1)
     chi = -2.0 * c0 + c1
     return chi[:, idx[0]] * w[0][None, :] + chi[:, idx[1]] * w[1][None, :]
 
 
 @jax.jit
 def _ccf_chisq_nocont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
-    c0 = jnp.fft.irfft(tfft * sfft_conj[None, :], axis=1)
-    c1 = jnp.fft.irfft(t2fft * ivfft_conj[None, :], axis=1)
+    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
+        _cplx(ivfft_conj)
+    c0 = jnp.fft.irfft(tf * sf[None, :], axis=1)
+    c1 = jnp.fft.irfft(t2 * iv[None, :], axis=1)
     chi = -(c0 * c0) / c1
     return chi[:, idx[0]] * w[0][None, :] + chi[:, idx[1]] * w[1][None, :]
 
@@ -107,9 +114,12 @@ def _vel_axis(ccfconf, npoints_spec, maxvel):
 
 @jax.jit
 def _ccf_batch_cont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
-    """(T,F) bank x (B,F) exposure -> (B,T,nvel) chi2 contributions."""
-    c0 = jnp.fft.irfft(tfft[None, :, :] * sfft_conj[:, None, :], axis=2)
-    c1 = jnp.fft.irfft(t2fft[None, :, :] * ivfft_conj[:, None, :], axis=2)
+    """(2,T,F) bank x (2,B,F) exposure (stacked real/imag) ->
+    (B,T,nvel) chi2 contributions."""
+    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
+        _cplx(ivfft_conj)
+    c0 = jnp.fft.irfft(tf[None, :, :] * sf[:, None, :], axis=2)
+    c1 = jnp.fft.irfft(t2[None, :, :] * iv[:, None, :], axis=2)
     chi = -2.0 * c0 + c1
     return (chi[:, :, idx[0]] * w[0][None, None, :]
             + chi[:, :, idx[1]] * w[1][None, None, :])
@@ -117,8 +127,10 @@ def _ccf_batch_cont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
 
 @jax.jit
 def _ccf_batch_nocont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
-    c0 = jnp.fft.irfft(tfft[None, :, :] * sfft_conj[:, None, :], axis=2)
-    c1 = jnp.fft.irfft(t2fft[None, :, :] * ivfft_conj[:, None, :], axis=2)
+    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
+        _cplx(ivfft_conj)
+    c0 = jnp.fft.irfft(tf[None, :, :] * sf[:, None, :], axis=2)
+    c1 = jnp.fft.irfft(t2[None, :, :] * iv[:, None, :], axis=2)
     chi = -(c0 * c0) / c1
     return (chi[:, :, idx[0]] * w[0][None, None, :]
             + chi[:, :, idx[1]] * w[1][None, None, :])
@@ -161,13 +173,13 @@ def prepare_arm_batch(setup, lam, fluxes, especs, badmask, config,
     maxvel = config.get('max_vel') or 1000
     if banks is not None and setup in banks:
         tfft, t2fft, info = banks[setup]
-        # cast on the HOST: a c128 -> c64 convert on device is
-        # unimplemented on some TPU runtimes
-        cdtype = np.dtype(np.complex128
-                          if jnp.zeros(0).dtype == jnp.float64
-                          else np.complex64)
-        tfft = jnp.asarray(np.asarray(tfft, cdtype))
-        t2fft = jnp.asarray(np.asarray(t2fft, cdtype))
+        # ship as stacked real/imag floats (complex transfers wedge
+        # some TPU runtimes); complex is reassembled in-graph
+        fdtype = jnp.zeros(0).dtype
+        pack = lambda c: jnp.asarray(np.stack(
+            [np.asarray(c).real, np.asarray(c).imag]).astype(fdtype))
+        tfft = pack(tfft)
+        t2fft = pack(t2fft)
         models = None
     else:
         tfft, t2fft, models, info = get_ccf_info(setup, config)
@@ -245,18 +257,18 @@ def fit_batch(arm_batches, config, banks=None, microbatch=64):
         pad = microbatch - (i1 - i0)
         contributions = None
         for p in prep:
-            cdtype = p['tfft'].dtype
+            fdtype = np.dtype(str(p['tfft'].dtype))
             sl = slice(i0, i1)
             sfft_c = np.conj(p['sfft'][sl])
             ivfft_c = np.conj(p['ivfft'][sl])
             if pad:
                 sfft_c = np.pad(sfft_c, ((0, pad), (0, 0)))
                 ivfft_c = np.pad(ivfft_c, ((0, pad), (0, 0)))
+            pack = lambda c: jnp.asarray(np.stack(
+                [c.real, c.imag]).astype(fdtype))
             fun = _ccf_batch_cont if p['continuum'] else _ccf_batch_nocont
-            cur = fun(p['tfft'], p['t2fft'],
-                      jnp.asarray(np.asarray(sfft_c, cdtype)),
-                      jnp.asarray(np.asarray(ivfft_c, cdtype)),
-                      p['idx'], p['w'])
+            cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),
+                      pack(ivfft_c), p['idx'], p['w'])
             contributions = cur if contributions is None else \
                 contributions + cur
         tid, bvel, bchi, _ = _ccf_reduce(contributions, vel_grid_d)
@@ -328,13 +340,13 @@ def fit(specdata, config):
         idx = (jnp.asarray(ind[pos]), jnp.asarray(ind[pos + 1]))
         w = (jnp.asarray(1 - wr), jnp.asarray(wr))
 
-        cdtype = tfft.dtype
-        fdtype = jnp.zeros(0, jnp.float64).dtype
+        fdtype = np.dtype(str(tfft.dtype))
         fun = _ccf_chisq_continuum if ccfconf['continuum'] else \
             _ccf_chisq_nocont
-        cur = fun(tfft, t2fft,
-                  jnp.asarray(np.asarray(sfft.conj(), cdtype)),
-                  jnp.asarray(np.asarray(ivfft.conj(), cdtype)), idx, w)
+        pack = lambda c: jnp.asarray(np.stack(
+            [np.asarray(c).real, np.asarray(c).imag]).astype(fdtype))
+        cur = fun(tfft, t2fft, pack(sfft.conj()), pack(ivfft.conj()),
+                  idx, w)
         contributions = cur if contributions is None else \
             contributions + cur
 

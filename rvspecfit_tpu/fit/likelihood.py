@@ -69,6 +69,11 @@ def _overlap_check(tm_or_bounds, arm_lam, min_vel, max_vel):
 
 
 
+def _pallas_interpret():
+    import os
+    return os.environ.get('RVST_PALLAS_SPLINE') == 'interpret'
+
+
 def _doppler_u(arm, tm, vels):
     """Fractional-index query grid (T, npix) for the index eval path."""
     shift = spline_mod.doppler_index_shift(tm.geom, vels,
@@ -78,49 +83,77 @@ def _doppler_u(arm, tm, vels):
     return arm.idx0[None, :] + shift[:, None] * arm.lam_over_step[None, :]
 
 
-def _eval_doppler_single(arm, tm, coeffs, vels):
+def _eval_doppler_single(arm, tm, coeffs, vels, fast_interp=False):
     """Doppler evaluation of ONE template at many velocities.
 
-    coeffs: (n-1, 4); vels: (V,) -> (V, npix).
+    coeffs: (n-1, 4) spline coefficients — or (n,) raw knot values in
+    ``fast_interp`` (nearest-pixel) mode; vels: (V,) -> (V, npix).
     """
     if arm.idx0 is not None:
         u = _doppler_u(arm, tm, vels)
+        if fast_interp:
+            return spline_mod.nearest_eval_index(tm.geom, coeffs, u)[0]
+        if getattr(arm, 'pallas_window', None):
+            from rvspecfit_tpu.ops import pallas_spline as ps
+            return ps.spline_eval_index_pallas(
+                tm.geom, jnp.broadcast_to(
+                    coeffs[None], (u.shape[0],) + coeffs.shape),
+                u, arm.pallas_window, interpret=_pallas_interpret())[0]
         return spline_mod.spline_eval_index(tm.geom, coeffs, u)[0]
     beta = vels / SPEED_OF_LIGHT
     dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
     q = arm.lam[None, :] * dop[:, None]
+    if fast_interp:
+        u = spline_mod.fractional_index_device(tm.geom, q)
+        return spline_mod.nearest_eval_index(tm.geom, coeffs, u)[0]
     return jax.vmap(
         lambda x: spline_mod.spline_eval(tm.geom, coeffs, x)[0])(q)
 
 
-def _eval_doppler(arm, tm, coeffs, vels):
+def _eval_doppler(arm, tm, coeffs, vels, fast_interp=False):
     """Doppler-shifted template evaluation at the arm pixels.
 
     Uses the cancellation-free fractional-index path when the arm
     carries precomputed indices (ops.spline.spline_eval_index) —
     essential on TPUs where per-query float32 logs jitter the knot
     assignment; falls back to direct wavelength evaluation otherwise.
+    ``fast_interp`` switches to nearest-pixel gathers on raw template
+    values (reference: spec_fit.py:913-918).
 
-    coeffs: (T, n-1, 4) per-trial spline coefficients; vels: (T,).
-    Returns (T, npix) values.
+    coeffs: (T, n-1, 4) per-trial spline coefficients (or (T, n) raw
+    values in fast_interp mode); vels: (T,).  Returns (T, npix).
     """
     if arm.idx0 is not None:
         u = _doppler_u(arm, tm, vels)
+        if fast_interp:
+            return jax.vmap(lambda c, uu: spline_mod.nearest_eval_index(
+                tm.geom, c, uu)[0])(coeffs, u)
+        if getattr(arm, 'pallas_window', None):
+            from rvspecfit_tpu.ops import pallas_spline as ps
+            return ps.spline_eval_index_pallas(
+                tm.geom, coeffs, u, arm.pallas_window,
+                interpret=_pallas_interpret())[0]
         return jax.vmap(
             lambda c, uu: spline_mod.spline_eval_index(tm.geom, c,
                                                        uu)[0])(coeffs, u)
     beta = vels / SPEED_OF_LIGHT
     dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))
     q = arm.lam[None, :] * dop[:, None]
+    if fast_interp:
+        u = spline_mod.fractional_index_device(tm.geom, q)
+        return jax.vmap(lambda c, uu: spline_mod.nearest_eval_index(
+            tm.geom, c, uu)[0])(coeffs, u)
     return jax.vmap(
         lambda c, x: spline_mod.spline_eval(tm.geom, c, x)[0])(coeffs, q)
 
 
 def template_stage(tm: TemplateModel, params, vsinis, use_vsini,
-                   half_width):
+                   half_width, fast_interp=False):
     """Evaluate + broaden + spline-construct templates for T trials.
 
     Returns (coeffs (T,n-1,4), outside (T,), crap (T,), finite (T,)).
+    With ``fast_interp`` the spline construction is skipped and raw
+    (broadened) knot values (T, n) are returned instead.
     """
     spec_t, outside = tm.eval_batch(params)           # (T, npixt)
     finite_t = jnp.isfinite(spec_t).all(axis=-1)
@@ -138,12 +171,15 @@ def template_stage(tm: TemplateModel, params, vsinis, use_vsini,
             lambda v: vsini_mod.rotation_kernel(
                 v, tm.log_step, half_width, dtype=spec_safe.dtype))(vsinis)
         spec_safe = jax.vmap(vsini_mod.convolve_kernel_same)(spec_safe, kern)
+    if fast_interp:
+        return spec_safe, outside, crap, finite_t
     coeffs = spline_mod.spline_coeffs(tm.geom, spec_safe)
     return coeffs, outside, crap, finite_t
 
 
 def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
-                      use_vsini, half_widths, outside_penalty, solve_dtype):
+                      use_vsini, half_widths, outside_penalty, solve_dtype,
+                      fast_interp=False):
     """Pure batched -2logL over T trial points for one object.
 
     arms : list of ArmState (leaves may carry extra batch axes when
@@ -155,14 +191,15 @@ def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
     vels = jnp.atleast_1d(vels)
 
     stage = {s: template_stage(templates[s], params, vsinis, use_vsini,
-                               half_widths.get(s))
+                               half_widths.get(s), fast_interp)
              for s in templates}
 
     total = jnp.zeros_like(vels)
     for arm in arms:
         coeffs, outside, crap, finite_t = stage[arm.setup]
         tm = templates[arm.setup]
-        val = _eval_doppler(arm, tm, coeffs, vels)    # (T, npix)
+        val = _eval_doppler(arm, tm, coeffs, vels,
+                            fast_interp=fast_interp)  # (T, npix)
         if arm.band is not None:
             val = jax.vmap(arm.band.matvec)(val)
         t_over_e = val * arm.espec_inv[None, :] if arm.espec_inv.ndim == 1 \
@@ -187,7 +224,8 @@ def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
 
 
 def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
-              half_widths, outside_penalty, solve_dtype):
+              half_widths, outside_penalty, solve_dtype,
+              fast_interp=False):
     """-2logL over a velocity grid at ONE parameter point.
 
     The template stage (interpolation, broadening, spline
@@ -198,7 +236,7 @@ def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
     vels = jnp.atleast_1d(vels)
 
     stage = {s: template_stage(templates[s], param[None, :], vsini[None],
-                               use_vsini, half_widths.get(s))
+                               use_vsini, half_widths.get(s), fast_interp)
              for s in templates}
 
     total = jnp.zeros_like(vels)
@@ -207,7 +245,8 @@ def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
         coeffs, outside, crap, finite_t = (coeffs[0], outside[0], crap[0],
                                            finite_t[0])
         tm = templates[arm.setup]
-        val = _eval_doppler_single(arm, tm, coeffs, vels)  # (V, npix)
+        val = _eval_doppler_single(arm, tm, coeffs, vels,
+                                   fast_interp=fast_interp)  # (V, npix)
         if arm.band is not None:
             val = jax.vmap(arm.band.matvec)(val)
         t_over_e = val * arm.espec_inv[None, :]
@@ -255,6 +294,7 @@ class FusedChisq:
         options = options or {}
         self.npoly = options.get('npoly') or 5
         self.rbf = options.get('rbf_continuum', True)
+        self.fast_interp = bool(options.get('fast_interp', False))
         self.config = config
         self.use_vsini = bool(use_vsini)
         self.outside_penalty = bool(outside_penalty)
@@ -300,7 +340,8 @@ class FusedChisq:
     def _template_stage(self, setup, params, vsinis):
         """(T,ndim),(T,) -> spline coeffs (T,n-1,4), outside, crap, finite."""
         return template_stage(self.templates[setup], params, vsinis,
-                              self.use_vsini, self._half_widths.get(setup))
+                              self.use_vsini, self._half_widths.get(setup),
+                              self.fast_interp)
 
     def _chisq_trials(self, vels, params, vsinis):
         """(T,),(T,ndim),(T,) -> (T,) total -2logL."""
@@ -309,7 +350,7 @@ class FusedChisq:
             badchi=self.badchi, use_vsini=self.use_vsini,
             half_widths=self._half_widths,
             outside_penalty=self.outside_penalty,
-            solve_dtype=self.solve_dtype)
+            solve_dtype=self.solve_dtype, fast_interp=self.fast_interp)
 
     # ---------------- public API ----------------
 
@@ -360,8 +401,8 @@ class FusedChisq:
         for arm in self.arms:
             coeffs, outside, crap, finite_t = coeffs_by_setup[arm.setup]
             tm = self.templates[arm.setup]
-            val = _eval_doppler_single(arm, tm, coeffs[0],
-                                       vel[None])[0]
+            val = _eval_doppler_single(arm, tm, coeffs[0], vel[None],
+                                       fast_interp=self.fast_interp)[0]
             if arm.band is not None:
                 val = arm.band.matvec(val)
             t_over_e = val * arm.espec_inv

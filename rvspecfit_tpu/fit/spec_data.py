@@ -18,6 +18,32 @@ import jax.numpy as jnp
 from rvspecfit_tpu.ops import basis as basis_mod
 from rvspecfit_tpu.ops.resolution import BandedMatrix
 
+
+def pallas_spline_window(idx0_host, geom=None):
+    """Static window size for the windowed-DMA Doppler spline kernel;
+    None = XLA gather path.
+
+    Policy: ON by default on TPU backends (on-chip A/B: ~20% faster
+    fused likelihood and ~2x faster compiles than the XLA gather,
+    tools/ab_pallas_spline.py), OFF elsewhere.  Override with
+    RVST_PALLAS_SPLINE=1 (force on), =interpret (CPU-interpreted,
+    for tests), =0 (force off)."""
+    import os
+    flag = os.environ.get('RVST_PALLAS_SPLINE', '')
+    if flag in ('0', 'off'):
+        return None
+    if geom is not None and bool(geom.log_step) \
+            and float(geom.step) > 0.01:
+        return None            # kernel's expm1 Taylor needs a fine grid
+    if not flag:
+        try:
+            if jax.default_backend() != 'tpu':
+                return None
+        except Exception:
+            return None
+    from rvspecfit_tpu.ops import pallas_spline as ps
+    return ps.window_size(idx0_host)
+
 _objid_counter = itertools.count(1)
 
 
@@ -84,17 +110,20 @@ class ArmState:
     setup: str                  # static: template setup key
     idx0: jnp.ndarray | None = None          # (npix,) fractional index
     lam_over_step: jnp.ndarray | None = None  # (npix,) linear grids
+    pallas_window: int | None = None  # static: windowed-DMA kernel on
 
     def tree_flatten(self):
         children = (self.lam, self.dvec, self.espec_inv, self.polys,
                     self.log_espec_sum, self.band, self.idx0,
                     self.lam_over_step)
-        return children, (self.name, self.setup)
+        return children, (self.name, self.setup, self.pallas_window)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        name, setup = aux
-        return cls(*children[:6], name, setup, *children[6:])
+        name, setup = aux[0], aux[1]
+        window = aux[2] if len(aux) > 2 else None
+        return cls(*children[:6], name, setup, *children[6:],
+                   pallas_window=window)
 
     @property
     def npix(self):
@@ -102,7 +131,8 @@ class ArmState:
 
     @classmethod
     def build(cls, sd: SpecData, npoly=5, rbf=True, espec_systematic=None,
-              resol_matrix=None, dtype=None, setup=None, geom=None):
+              resol_matrix=None, dtype=None, setup=None, geom=None,
+              allow_pallas=False):
         """Derive device constants from a SpecData.
 
         ``espec_systematic`` is added in quadrature to the error vector
@@ -126,14 +156,23 @@ class ArmState:
             band = BandedMatrix(band.offsets, band.bands.astype(dtype))
         idx0 = None
         lam_over_step = None
+        window = None
         if geom is not None:
             from rvspecfit_tpu.ops.spline import fractional_index
-            idx0 = to(fractional_index(geom, sd.lam))
+            idx0_host = fractional_index(geom, sd.lam)
+            idx0 = to(idx0_host)
             if not geom.log_step:
                 lam_over_step = to(sd.lam / geom.step)
+            # the single-object FusedChisq path differentiates through
+            # the likelihood (BFGS polish, AD Hessian); the Pallas
+            # kernel defines no VJP, so it stays off here by default —
+            # the batched fitter opts in for its non-AD phases
+            if allow_pallas:
+                window = pallas_spline_window(idx0_host, geom)
         return cls(lam=to(sd.lam), dvec=to(sd.spec / espec),
                    espec_inv=to(1.0 / espec), polys=to(polys),
                    log_espec_sum=to(np.log(espec).sum()),
                    band=band, name=sd.name,
                    setup=setup if setup is not None else sd.name,
-                   idx0=idx0, lam_over_step=lam_over_step)
+                   idx0=idx0, lam_over_step=lam_over_step,
+                   pallas_window=window)

@@ -316,15 +316,26 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
     specParamNames = templates[setup0].parnames
     curparam = np.array([paramDict0[p] for p in specParamNames])
 
+    import time as _time
+    _t = [_time.time()]
+
+    def _phase(name):
+        # per-fit phase timing at DEBUG (reference: vel_fit.py:592-735)
+        _t.append(_time.time())
+        logging.debug('process() phase %s: %.3f s', name,
+                      _t[-1] - _t[-2])
+
     fused = FusedChisq(specdata, templates, config, options=options,
                        resol_mats=resolParams, use_vsini=use_vsini,
                        espec_systematic=espec_systematic)
+    _phase('setup')
 
     # ---- stage 1: velocity scan at starting parameters ----
     vels_grid = np.arange(min_vel, max_vel, vel_step0)
     rot0 = paramDict0.get('vsini') if use_vsini else None
     res = find_best(fused, vels_grid, [curparam], vsini=rot0)
     best_vel = res['best_vel']
+    _phase('scan')
 
     # ---- stage 2: Nelder-Mead ----
     mapper = ParamMapper(specParamNames, paramDict0, fixParam, vsiniMapper,
@@ -375,6 +386,7 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
         if np.isfinite(res2.fun) and res2.fun <= float(nmres['fun'][0]):
             xbest = res2.x
 
+    _phase('neldermead')
     vel_b, params_b, vsini_b, _ = mapper.unpack(jnp.asarray(xbest[None]))
     best_params = np.asarray(params_b)[0]
     best_vel = float(np.asarray(vel_b)[0])
@@ -391,6 +403,7 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
 
     best_vel, vel_err, res1 = _minimum_sampler(
         scan_fn, best_vel, min_vel, max_vel, vel_step0, min_vel_step)
+    _phase('refinement')
     ret['vel'] = best_vel
     ret['vel_err'] = vel_err
     ret['vel_skewness'] = res1['skewness']
@@ -398,6 +411,7 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
 
     # ---- stage 5: models at the optimum ----
     outp = fused.full_output(best_vel, best_params, best_vsini)
+    _phase('models')
 
     # ---- stage 6: exact AD Hessian of 0.5*chisq over atm params ----
     prior_rows = []
@@ -418,6 +432,8 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
     hess = np.asarray(jax.hessian(half_chisq)(jnp.asarray(best_params)),
                       dtype=np.float64)
     diag_err, covar, bad_hessian = _uncertainties_from_hessian(hess)
+    _phase('hessian')
+    logging.debug('process() total: %.3f s', _t[-1] - _t[0])
 
     ret['param_err'] = dict(zip(specParamNames, diag_err.tolist()))
     ret['param_covar'] = covar

@@ -114,11 +114,18 @@ def gaussian_resolution_matrix(lam, resol=None, width=None, thresh=5.0):
 def banded_from_desi_resolution(resdata):
     """Wrap a DESI-style resolution array (noff, npix) as BandedMatrix.
 
-    DESI stores row k as diagonal offset (W - k) for a (2W+1, npix)
-    array (reference: py/rvspecfit/desi/desi_fit.py:723-748).
+    DESI stores dia-convention (scipy ``dia_matrix``) data: row k is
+    diagonal offset (W - k), COLUMN-indexed — ``M[i, j] =
+    resdata[k, j]`` with ``j - i = W - k``
+    (reference: py/rvspecfit/desi/desi_fit.py:743-747).  BandedMatrix
+    storage is ROW-indexed (``bands[k, i] = M[i, i + offsets[k]]``),
+    so each diagonal is rolled from column- to row-indexing.  Values
+    rolled around the edge land only at positions masked as invalid
+    by the matvec.
     """
     resdata = np.asarray(resdata)
     noff = resdata.shape[0]
     w = noff // 2
     offsets = tuple(int(w - k) for k in range(noff))
-    return BandedMatrix(offsets, jnp.asarray(resdata))
+    rows = np.stack([np.roll(resdata[k], k - w) for k in range(noff)])
+    return BandedMatrix(offsets, jnp.asarray(rows))

@@ -253,11 +253,35 @@ def spline_eval_index(geom: SplineGeometry, coeffs, u):
     return val, inrange
 
 
+def nearest_eval_index(geom: SplineGeometry, values, u):
+    """Nearest-knot evaluation at fractional indices ``u``.
+
+    The ``fast_interp`` mode of the reference
+    (reference: py/rvspecfit/spec_fit.py:913-918): instead of the
+    cubic spline, gather the nearest template pixel — one gather, no
+    polynomial — for speed-over-accuracy scans.
+
+    values : (..., n) knot values; u : (...,) fractional indices.
+    Returns (vals, inrange).
+    """
+    idx = jnp.clip(jnp.round(u), 0, geom.n - 1).astype(jnp.int32)
+    inrange = (u >= 0) & (u < geom.n - 1)
+    return jnp.take(values, idx, axis=-1), inrange
+
+
 def fractional_index(geom: SplineGeometry, x):
     """Host-side float64 fractional knot indices of query points."""
     x = np.asarray(x, dtype=np.float64)
     if geom.log_step:
         return (np.log(x) - np.log(geom.x0)) / geom.step
+    return (x - geom.x0) / geom.step
+
+
+def fractional_index_device(geom: SplineGeometry, x):
+    """In-graph fractional knot indices (working precision; fine for
+    nearest-pixel gathers, use precomputed indices for spline eval)."""
+    if geom.log_step:
+        return (jnp.log(x) - np.log(geom.x0)) / geom.step
     return (x - geom.x0) / geom.step
 
 

@@ -30,8 +30,11 @@ def clear_cache():
     _cache.clear()
 
 
-def load_template_model(setup, config, dtype=None, cache=True):
-    """Load one setup's TemplateModel (cached)."""
+def load_template_model(setup, config, dtype=None, cache=True,
+                        warmup_cache=False):
+    """Load one setup's TemplateModel (cached).  ``warmup_cache``
+    touches the whole mmap'd template matrix to pull it into the OS
+    page cache up front (reference: spec_inter.py:355-358)."""
     lib = config['template_lib']
     key = (os.path.abspath(lib), setup, dtype)
     if cache and key in _cache:
@@ -52,6 +55,8 @@ def load_template_model(setup, config, dtype=None, cache=True):
     if itype == 'regulargrid':
         dats = np.load(os.path.join(lib, INTERPOL_DAT_NAME % setup),
                        mmap_mode='r')
+        if warmup_cache:
+            float(np.asarray(dats).sum())
         uvdict = fd['uvecs']
         uvecs = [np.asarray(uvdict[f'dim{i}'])
                  for i in range(len(uvdict))]

@@ -129,26 +129,68 @@ def preprocess_model(logl, lammodel, model0, vsini=None, ccfconf=None):
                                       fill_value=1.0)(logl)
 
 
-def preprocess_model_list(lammodels, models, params, ccfconf, vsinis=None):
-    """Prepare all (template x vsini) combinations
-    (reference: make_ccf.py:217-285)."""
+def preprocess_model_list(lammodels, models, params, ccfconf, vsinis=None,
+                          chunk=256):
+    """Prepare all (template x vsini) combinations, vectorized over
+    templates: one batched robust-continuum program per chunk instead
+    of the reference's per-template Python loop
+    (reference: make_ccf.py:217-285).
+    """
     logl = np.linspace(ccfconf['logl0'], ccfconf['logl1'],
                        ccfconf['npoints'])
+    lammodels = np.asarray(lammodels, np.float64)
+    models = np.asarray(models, np.float64)
     if vsinis is None:
         vsinis = [None]
-    out, retparams, retvsinis = [], [], []
-    total = len(models) * len(vsinis)
-    i = 0
-    for imodel, m0 in enumerate(models):
-        for vsini in vsinis:
-            out.append(preprocess_model(logl, lammodels, m0, vsini,
-                                        ccfconf))
-            retparams.append(params[imodel])
-            retvsinis.append(vsini)
-            i += 1
-            if i % max(1, total // 10) == 0:
-                logging.info('CCF templates %d/%d', i, total)
-    return np.array(out), np.array(retparams), retvsinis
+
+    # expand the (template x vsini) grid; each vsini broadens the
+    # whole template block with one shared kernel
+    blocks, retparams, retvsinis = [], [], []
+    lnstep = np.log(lammodels[1] / lammodels[0])
+    for vsini in vsinis:
+        if vsini is not None and vsini != 0:
+            hw = vsini_mod.kernel_half_width(float(vsini), lnstep)
+            kern = np.asarray(vsini_mod.rotation_kernel(
+                float(vsini), lnstep, hw))[None, :]
+            blk = scipy.signal.fftconvolve(models, kern, mode='same',
+                                           axes=1)
+        else:
+            blk = models
+        blocks.append(blk)
+        retparams.extend(list(params))
+        retvsinis.extend([vsini] * len(models))
+    big = np.concatenate(blocks, axis=0)              # (M, npixt)
+
+    if ccfconf['continuum']:
+        med = np.median(big, axis=1)
+        espec = np.maximum(big * 1e-5, 1e-2 * med[:, None])
+        conts = []
+        for i0 in range(0, len(big), chunk):
+            conts.append(continuum_mod.fit_continuum(
+                lammodels, big[i0:i0 + chunk], espec[i0:i0 + chunk],
+                ccfconf=ccfconf))
+            logging.info('CCF template continua %d/%d',
+                         min(i0 + chunk, len(big)), len(big))
+        cont = np.concatenate(conts, axis=0)
+        cmed = np.median(cont, axis=1)
+        cont = np.maximum(cont, 1e-2 * cmed[:, None])
+        big = big / cont
+
+    if not (np.log(lammodels[0]) <= logl[0] <= np.log(lammodels[-1])) \
+            or not (np.log(lammodels[0]) <= logl[-1]
+                    <= np.log(lammodels[-1])):
+        logging.warning('CCF wavelength range exceeds template coverage')
+
+    # shared-grid linear resample of all rows onto the log-lambda grid
+    loglam = np.log(lammodels)
+    pos = np.searchsorted(loglam, logl) - 1
+    ins = (pos >= 0) & (pos <= len(loglam) - 2)
+    out = np.ones((len(big), len(logl)))
+    li = pos[ins]
+    w = (logl[ins] - loglam[li]) / (loglam[li + 1] - loglam[li])
+    out[:, ins] = big[:, li] * (1 - w)[None, :] \
+        + big[:, li + 1] * w[None, :]
+    return out, np.array(retparams), retvsinis
 
 
 def interp_masker(lam, spec, badmask):

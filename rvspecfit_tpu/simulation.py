@@ -133,6 +133,38 @@ def build_ccf_bank(nt=6, nl=6, nf=6, na=4, npix=4096, lam0=4550.0,
     return ffts, fft2s, info
 
 
+def build_ccf_bank_cached(cache_path, **kwargs):
+    """build_ccf_bank, executed in a CPU subprocess and cached on disk.
+
+    Mirrors production, where the CCF bank is an offline artifact
+    (rvst_make_ccf) rather than built inside the fitting process —
+    and keeps the TPU process free of the offline prep's device
+    traffic.  Returns (tfft, t2fft, info)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.path.exists(cache_path):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys, numpy as np\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "from rvspecfit_tpu import simulation\n"
+            f"tfft, t2fft, info = simulation.build_ccf_bank("
+            f"**{kwargs!r})\n"
+            f"np.save({cache_path!r} + '.tmp.npy',\n"
+            "        np.array([dict(fft=tfft, fft2=t2fft, info=info)],\n"
+            "                 dtype=object), allow_pickle=True)\n"
+            f"import os; os.replace({cache_path!r} + '.tmp.npy',"
+            f" {cache_path!r})\n")
+        env = dict(os.environ, JAX_PLATFORMS='cpu')
+        subprocess.run([sys.executable, '-c', script], check=True,
+                       env=env)
+    d = np.load(cache_path, allow_pickle=True)[0]
+    return d['fft'], d['fft2'], d['info']
+
+
 # DESI-like three-arm wavelength layout (angstrom ranges per arm)
 THREE_ARM_LAYOUT = {
     'B': (4600.0, 4900.0),

@@ -34,6 +34,10 @@ import sys
 import time
 import traceback
 
+# anti-oversubscription: the fiber axis is the parallel axis here, so
+# BLAS/OpenMP threading only thrashes (reference: desi_fit.py:1-3)
+os.environ.setdefault('OMP_NUM_THREADS', '1')
+
 import numpy as np
 
 from rvspecfit_tpu import utils, __version__
@@ -125,8 +129,9 @@ def prepare_resolution_band(mat, pix_size_angstrom=None,
         j = npix - 1 - i
         n2 = rows[:w2 + 1 + i, j].sum()
         rows[:, j] = rows[:, j] / (n2 + (n2 == 0)) * mult
-    # rows[k, i] multiplies input pixel i + (w2 - k) for output i,
-    # which is exactly our row-oriented band storage ordering
+    # rows[k, i] = M[i, i + (k - w2)]: row-oriented band storage;
+    # consumed with offsets (k - w2) by fit/batch.py and
+    # tests/test_desi_resolution.py
     return rows
 
 
@@ -173,6 +178,19 @@ def get_sns(data, ivars, masks):
         sns = np.nanmedian(xsn, axis=1)
         sns[~np.isfinite(sns)] = -1e9
     return sns
+
+
+def get_sns_from_scores(scores, setups):
+    """Per-arm S/N from the SCORES extension when available
+    (reference: desi_fit.py:1076-1091); None -> compute from data."""
+    if scores is None:
+        return None
+    for prefix in ('MEDIAN_CALIB_SNR_', 'MEDIAN_COADD_SNR_',
+                   'MEDIAN_COADD_FLUX_SNR_'):
+        if all(prefix + s.upper() in scores for s in setups):
+            return {s: np.asarray(scores[prefix + s.upper()],
+                                  np.float64) for s in setups}
+    return None
 
 
 def fiberstatus_select(fibermap):
@@ -421,18 +439,26 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
               setups=('b', 'r', 'z'), minsn=-1e9, fit_targetid=None,
               expid_range=None, ccf_init=True, use_resolution_matrix=False,
               zbest_path=None, zbest_select=False, objtype_mask=None,
-              npoly=10, doplot=False, templates=None):
+              npoly=10, doplot=False, templates=None, fitarm=None):
     """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
 
     Returns the number of fitted objects (0 when nothing selected).
     """
     t0 = time.time()
+    if fitarm is not None:
+        setups = tuple(s for s in setups if s in fitarm)
+        if not setups:
+            raise RuntimeError('--fitarm excluded every arm')
     fp = fitsio.read(fname)
     if not valid_file(fp, setups):
         raise RuntimeError(f'{fname}: invalid file')
     fibermap = fp['FIBERMAP'].data
+    scores = fp['SCORES'].data if 'SCORES' in fp else None
+    exp_fibermap = fp['EXP_FIBERMAP'].data if 'EXP_FIBERMAP' in fp \
+        else None
     fluxes, ivars, masks, waves, resolutions = read_data(fp, setups)
-    sns = {s: get_sns(fluxes[s], ivars[s], masks[s]) for s in setups}
+    sns = get_sns_from_scores(scores, setups) or \
+        {s: get_sns(fluxes[s], ivars[s], masks[s]) for s in setups}
     sn_max = np.max(np.array([sns[s] for s in setups]), axis=0)
 
     subset, rr_info = select_fibers_to_fit(
@@ -465,6 +491,7 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     start_vel = np.zeros(nf)
     start_vsini = np.zeros(nf)
     any_vsini = False
+    ccf_cols = {}
     if ccf_init:
         try:
             cres = ccf_mod.fit_batch(
@@ -484,6 +511,15 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
                 start_params[bad] = \
                     [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
                 start_vel[bad] = 0.0
+            # CCF-stage parameter columns (reference schema:
+            # desi_fit.py:349-354)
+            name_map = dict(teff='TEFF', logg='LOGG', feh='FEH',
+                            alpha='ALPHAFE')
+            ccf_cols['CHISQ_CCF'] = cres['best_chi']
+            ccf_cols['VSINI_CCF'] = np.where(has_vs, vs, 0.0)
+            for j, p in enumerate(parnames):
+                ccf_cols[name_map.get(p, p.upper()) + '_CCF'] = \
+                    start_params[:, j]
         except Exception as exc:
             logging.warning('batched CCF failed: %s', exc)
             start_params[:] = [5000.0, 3.0, -1.0, 0.2][:len(parnames)]
@@ -538,6 +574,8 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
         res['CHISQ_C_%s' % s.upper()] = mods['cont_chisq'][a.name]
         res['SN_%s' % s.upper()] = sns[s][idx]
     res['VRAD_CCF'] = vrad_ccf
+    for k, v in ccf_cols.items():
+        res[k] = v
     res['BAD_HESSIAN'] = bad_hess
     res['SUCCESS'] = nmres['converged'] & goodmask
     res['RVS_WARN'] = get_rvs_warn_batch(res, config)
@@ -564,7 +602,8 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
                 logging.warning('plotting failed: %s', exc)
 
     _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
-                   fibermap, idx, setups, config, fname)
+                   fibermap, idx, setups, config, fname,
+                   scores=scores, exp_fibermap=exp_fibermap)
     logging.info('%s: fitted %d fibers in %.1f s', fname, nf,
                  time.time() - t0)
     return nf
@@ -607,19 +646,27 @@ def _write_empty(fname):
 
 
 def _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
-                   fibermap, idx, setups, config, src_fname):
-    # RVTAB
+                   fibermap, idx, setups, config, src_fname,
+                   scores=None, exp_fibermap=None):
+    # RVTAB with the reference's column dtypes / descriptions / units
+    # (reference: desi_fit.py:910-959)
+    col_desc = get_column_desc([s.upper() for s in setups])
     drop = {'BAD_HESSIAN'}
-    cols = []
+    cols, units, comments = [], {}, {}
     for k, v in res.items():
         if k in drop:
             continue
         v = np.asarray(v)
         if v.dtype == object:
             v = v.astype(str)
-        if v.dtype.kind == 'f' and k not in (
-                'CHISQ_TOT', 'CHISQ_C_TOT', 'NPIX_TOT', 'RR_Z') \
-                and not k.startswith('CHISQ'):
+        if k in col_desc:
+            dtype, descr, unit = col_desc[k]
+            if dtype is not str and v.dtype.kind not in 'US':
+                v = v.astype(dtype)
+            comments[k] = descr
+            if unit:
+                units[k] = unit
+        elif v.dtype.kind == 'f':
             v = v.astype(np.float32)
         cols.append((k, v))
     # carry over a useful FIBERMAP subset
@@ -631,8 +678,20 @@ def _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
             fm_cols.append((k, np.asarray(fibermap[k])[idx]))
     hdus = [dict(kind='image', data=None,
                  header=_prim_header(config)),
-            dict(kind='table', data=cols, name='RVTAB'),
+            dict(kind='table', data=cols, name='RVTAB',
+                 units=units, comments=comments),
             dict(kind='table', data=fm_cols, name='FIBERMAP')]
+    if scores is not None:
+        hdus.append(dict(
+            kind='table', name='SCORES',
+            data=[(k, np.asarray(v)[idx]) for k, v in scores.items()]))
+    if exp_fibermap is not None and 'TARGETID' in exp_fibermap:
+        sub = np.isin(exp_fibermap['TARGETID'],
+                      np.asarray(fibermap['TARGETID'])[idx])
+        hdus.append(dict(
+            kind='table', name='EXP_FIBERMAP',
+            data=[(k, np.asarray(v)[sub])
+                  for k, v in exp_fibermap.items()]))
     fitsio.write(tab_ofname, hdus)
 
     # RVMOD: best-fit model vectors per arm
@@ -733,6 +792,9 @@ def main(args=None):
     parser.add_argument('--config', type=str, default=None)
     parser.add_argument('--templ_lib', type=str, default=None)
     parser.add_argument('--setups', type=str, default='b,r,z')
+    parser.add_argument('--fitarm', type=str, default=None,
+                        help='comma-separated subset of arms to fit '
+                        '(e.g. b,r)')
     parser.add_argument('--minsn', type=float, default=-1e9)
     parser.add_argument('--npoly', type=int, default=10)
     parser.add_argument('--targetid', type=int, default=None)
@@ -763,8 +825,14 @@ def main(args=None):
     parser.add_argument('--world', type=int, default=None)
     args = parser.parse_args(args)
 
+    # per-rank log file names for multi-host runs
+    # (reference: desi_fit.py:1753-1760)
+    log_fname = args.log
+    if log_fname is not None and args.rank is not None \
+            and '%' in log_fname:
+        log_fname = log_fname % args.rank
     logging.basicConfig(
-        filename=args.log, level=getattr(logging, args.log_level))
+        filename=log_fname, level=getattr(logging, args.log_level))
 
     override = {}
     if args.templ_lib:
@@ -812,6 +880,8 @@ def main(args=None):
                   doplot_figs=args.doplot,
                   objtype_mask=args.objtype_mask,
                   use_resolution_matrix=args.resolution_matrix,
+                  fitarm=(tuple(args.fitarm.split(','))
+                          if args.fitarm else None),
                   throw_exceptions=args.throw_exceptions)
     finally:
         pass

@@ -16,6 +16,9 @@ import os
 import sys
 import time
 
+# anti-oversubscription (reference: desi_fit.py:1-3)
+os.environ.setdefault('OMP_NUM_THREADS', '1')
+
 import numpy as np
 
 from rvspecfit_tpu import utils

@@ -50,9 +50,10 @@ def test_ccf_matches_numpy_chain(pipeline_library):
     ivf = np.fft.rfft(proc_ivar)
 
     res = ccf_mod.fit(sd, config)
-    # recompute chi2 for the winning template directly
-    tf = np.asarray(tfft)[:, :]
-    t2 = np.asarray(t2fft)[:, :]
+    # recompute chi2 for the winning template directly (the bank is
+    # stored as stacked real/imag floats)
+    tf = np.asarray(tfft[0]) + 1j * np.asarray(tfft[1])
+    t2 = np.asarray(t2fft[0]) + 1j * np.asarray(t2fft[1])
     c0 = np.fft.irfft(tf * sf.conj()[None, :], axis=1)
     c1 = np.fft.irfft(t2 * ivf.conj()[None, :], axis=1)
     chi_np = -2 * c0 + c1

@@ -59,6 +59,19 @@ def coadd_file(tmp_path_factory):
         ('DESI_TARGET', np.full(NFIB, 2**60, np.int64)),
     ]
     hdus.append(dict(kind='table', data=fibermap, name='FIBERMAP'))
+    # SCORES: per-arm median S/N (~80, from the snr used above);
+    # -1e9 for the fully-masked fiber so selection drops it the same
+    # way the computed-S/N path does
+    snr = np.full(NFIB, 80.0)
+    snr[NFIB - 1] = -1e9
+    hdus.append(dict(kind='table', name='SCORES', data=[
+        ('MEDIAN_CALIB_SNR_' + s.upper(), snr) for s in DESI_ARMS]))
+    # EXP_FIBERMAP: two exposures per target
+    tids = np.arange(NFIB, dtype=np.int64) + 39620000000
+    hdus.append(dict(kind='table', name='EXP_FIBERMAP', data=[
+        ('TARGETID', np.repeat(tids, 2)),
+        ('EXPID', np.tile(np.array([101, 102], np.int64), NFIB)),
+    ]))
     fname = str(root / 'coadd-test.fits')
     fitsio.write(fname, hdus)
     return fname, truth
@@ -100,6 +113,49 @@ def test_desi_fit_end_to_end(coadd_file, desi_library, tmp_path):
     fm = tab['FIBERMAP'].data
     np.testing.assert_array_equal(fm['TARGETID'], rv['TARGETID'])
 
+    # SCORES + EXP_FIBERMAP passthrough, subset to fitted fibers
+    sc = tab['SCORES'].data
+    assert len(sc['MEDIAN_CALIB_SNR_B']) == NFIB - 1
+    np.testing.assert_allclose(sc['MEDIAN_CALIB_SNR_B'], 80.0)
+    ef = tab['EXP_FIBERMAP'].data
+    assert set(ef['TARGETID']) == set(rv['TARGETID'])
+    assert len(ef['TARGETID']) == 2 * (NFIB - 1)
+
+    # S/N columns come from SCORES
+    np.testing.assert_allclose(rv['SN_B'], 80.0)
+
+    # CCF-stage parameter columns present
+    for col in ('VRAD_CCF', 'TEFF_CCF', 'LOGG_CCF', 'FEH_CCF',
+                'ALPHAFE_CCF', 'VSINI_CCF', 'CHISQ_CCF'):
+        assert col in rv, col
+    assert np.isfinite(rv['CHISQ_CCF']).all()
+
+    # units + descriptions on the RVTAB columns
+    hdr = tab['RVTAB'].header
+    ttypes = {str(hdr[f'TTYPE{i}']): i
+              for i in range(1, int(hdr['TFIELDS']) + 1)}
+    assert hdr.get(f'TUNIT{ttypes["VRAD"]}') == 'km/s'
+    assert hdr.get(f'TUNIT{ttypes["TEFF"]}') == 'K'
+
+
+def test_desi_fitarm(coadd_file, desi_library, tmp_path):
+    """--fitarm restricts which arms are fitted
+    (reference: desi_fit.py:1032-1033)."""
+    fname, truth = coadd_file
+    outdir = str(tmp_path / 'outarm')
+    desi.main([fname, '--output_dir', outdir,
+               '--templ_lib', desi_library, '--fitarm', 'b,r',
+               '--throw_exceptions'])
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
+    rv = tab['RVTAB'].data
+    assert 'CHISQ_B' in rv and 'CHISQ_R' in rv
+    assert 'CHISQ_Z' not in rv
+    mod = fitsio.read(os.path.join(outdir, 'rvmod-test.fits'))
+    assert 'B_MODEL' in mod and 'Z_MODEL' not in mod
+    for i in range(NFIB - 1):
+        assert abs(rv['VRAD'][i] - truth['vel'][i]) < \
+            max(12, 5 * rv['VRAD_ERR'][i]), f'fiber {i}'
+
 
 def test_desi_skipexisting_and_selection(coadd_file, desi_library,
                                          tmp_path):
@@ -119,6 +175,111 @@ def test_desi_skipexisting_and_selection(coadd_file, desi_library,
                '--throw_exceptions'])
     with open(status) as fp:
         assert 'EXISTING' in fp.read()
+
+
+def _gauss_band(sigma_pix, width, npix):
+    """dia-convention banded Gaussian resolution matrix
+    (offsets +w2..-w2), column-normalized."""
+    w2 = width // 2
+    offs = np.arange(w2, -w2 - 1, -1)
+    band = np.exp(-0.5 * (offs / sigma_pix)**2)[:, None] * \
+        np.ones((width, npix))
+    # normalize each COLUMN of the dense matrix: dense[i, j] =
+    # band[k, j] for i = j + offs[k], so column j sums over valid k
+    dense = np.zeros((npix, npix))
+    for k, o in enumerate(offs):
+        idx = np.arange(max(0, -o), min(npix, npix - o))
+        dense[idx + o, idx] = band[k, idx]
+    dense /= dense.sum(axis=0, keepdims=True)
+    out = np.zeros((width, npix))
+    for k, o in enumerate(offs):
+        idx = np.arange(max(0, -o), min(npix, npix - o))
+        out[k, idx] = dense[idx + o, idx]
+    return out
+
+
+@pytest.fixture(scope='module')
+def coadd_resolution_file(tmp_path_factory):
+    """Synthetic coadd WITH per-fiber RESOLUTION extensions: each
+    fiber's spectrum is smeared to its own LSF width, wider than the
+    template library's (the DESI production mode,
+    reference CI: tests/scripts/desi_fit.sh:10-13)."""
+    rng = np.random.RandomState(21)
+    root = tmp_path_factory.mktemp('coadd_res')
+    nfib = 4
+    truth = dict(vel=rng.uniform(-250, 250, nfib),
+                 teff=rng.uniform(4800, 9000, nfib),
+                 logg=rng.uniform(1.5, 4.5, nfib),
+                 feh=rng.uniform(-1.5, -0.3, nfib),
+                 alpha=rng.uniform(0.2, 0.8, nfib))
+    # per-fiber LSF sigma in angstrom (template library: resol 2000
+    # at ~5000 A -> sigma0 ~ 1.06 A); data are broader
+    sigmas = np.linspace(1.25, 1.6, nfib)
+    width = 11
+    hdus = [dict(kind='image', data=None)]
+    for s, (l0, l1) in DESI_ARMS.items():
+        npix = 400
+        wave = np.linspace(l0, l1, npix)
+        dwave = wave[1] - wave[0]
+        flux = np.zeros((nfib, npix), np.float32)
+        ivar = np.zeros((nfib, npix), np.float32)
+        mask = np.zeros((nfib, npix), np.int32)
+        res = np.zeros((nfib, width, npix), np.float32)
+        for i in range(nfib):
+            lam_rest = wave / (1 + truth['vel'][i] / C_KMS)
+            sp = simulation.fake_spectrum(
+                lam_rest, truth['teff'][i], truth['logg'][i],
+                truth['feh'][i], truth['alpha'][i],
+                wresol=sigmas[i])
+            esp = sp / 100.0
+            flux[i] = sp + rng.normal(size=npix) * esp
+            ivar[i] = 1.0 / esp**2
+            res[i] = _gauss_band(sigmas[i] / dwave, width, npix)
+        su = s.upper()
+        hdus += [dict(kind='image', data=wave, name=f'{su}_WAVELENGTH'),
+                 dict(kind='image', data=flux, name=f'{su}_FLUX'),
+                 dict(kind='image', data=ivar, name=f'{su}_IVAR'),
+                 dict(kind='image', data=mask, name=f'{su}_MASK'),
+                 dict(kind='image', data=res, name=f'{su}_RESOLUTION')]
+    fibermap = [
+        ('TARGETID', np.arange(nfib, dtype=np.int64) + 616000000),
+        ('FIBER', np.arange(nfib, dtype=np.int32)),
+        ('OBJTYPE', np.array(['TGT'] * nfib)),
+        ('FIBERSTATUS', np.zeros(nfib, np.int32)),
+    ]
+    hdus.append(dict(kind='table', data=fibermap, name='FIBERMAP'))
+    fname = str(root / 'coadd-res.fits')
+    fitsio.write(fname, hdus)
+    return fname, truth
+
+
+def test_desi_resolution_matrix(coadd_resolution_file, desi_library,
+                                tmp_path):
+    """--resolution_matrix: per-fiber banded LSFs flow through
+    deconvolution -> BatchedFitter and RVs are recovered."""
+    from rvspecfit_tpu.utils import freeze
+
+    fname, truth = coadd_resolution_file
+    outdir = tmp_path / 'outres'
+    outdir.mkdir()
+    # template library resol 2000 -> sigma0(5000 A) ~ 1.06 A
+    sig0 = {s: 5000.0 / 2000.0 / 2.355 for s in DESI_ARMS}
+    config = freeze(dict(
+        min_vel=-1000, max_vel=1000, vel_step0=5, max_vsini=500,
+        min_vsini=1e-2, min_vel_step=0.2, second_minimizer=False,
+        template_lib=desi_library, lsf_sigma0_angstrom=sig0))
+    tab_path = str(outdir / 'rvtab-res.fits')
+    nfit = desi.proc_desi(fname, tab_path, str(outdir / 'rvmod-res.fits'),
+                          None, config, {'npoly': 10},
+                          use_resolution_matrix=True)
+    assert nfit == len(truth['vel'])
+    rv = fitsio.read(tab_path)['RVTAB'].data
+    for i in range(nfit):
+        assert abs(rv['VRAD'][i] - truth['vel'][i]) < \
+            max(10, 5 * rv['VRAD_ERR'][i]), f'fiber {i}'
+        # teff from a 4x4x3x2 template grid with per-fiber LSF widths
+        # is coarse; the RV above is the physics gate
+        assert abs(rv['TEFF'][i] - truth['teff'][i]) < 2500
 
 
 def test_desi_empty_selection(coadd_file, desi_library, tmp_path):

@@ -76,6 +76,46 @@ def test_fused_matches_numpy_chain():
                                    err_msg=f'trial {i}')
 
 
+def test_fast_interp_mode():
+    """fast_interp (nearest-pixel Doppler eval; reference
+    spec_fit.py:913-918) matches a direct numpy nearest-gather chain
+    and approximates the spline path."""
+    tm, lam_t, vecs, specs = _build_template_model(npix=4096)
+    config = dict(min_vel=-1000, max_vel=1000, max_vsini=500)
+    lam, spec, espec = synth.observed_spectrum(
+        70.0, 5500.0, 3.1, -0.7, 0.3, snr=50.0, seed=9)
+    sd = SpecData('arm1', lam, spec, espec)
+    exact = FusedChisq([sd], {'arm1': tm}, config, options={'npoly': 8})
+    fast = FusedChisq([sd], {'arm1': tm}, config,
+                      options={'npoly': 8, 'fast_interp': True})
+
+    nid = 100
+    lt, g, f, a = vecs[:, nid]
+    par = [10**lt, g, f, a]
+    vel = 70.0
+    chi_exact = float(exact.chisq_one(vel, par))
+    chi_fast = float(fast.chisq_one(vel, par))
+
+    # numpy nearest-gather chain
+    templ = np.exp(specs[nid])
+    beta = vel / C_KMS
+    q = sd.lam * np.sqrt((1 - beta) / (1 + beta))
+    u = (np.log(q) - np.log(lam_t[0])) / np.log(lam_t[1] / lam_t[0])
+    ev = templ[np.clip(np.round(u).astype(int), 0, len(templ) - 1)]
+    polys = basis_mod.continuum_basis(sd.lam, 8, rbf=True)
+    d = sd.spec / sd.espec
+    st = polys * (ev / sd.espec)[None, :]
+    v = st @ d
+    minv = st @ st.T
+    uu, s, vt = np.linalg.svd(minv)
+    aa = vt.T @ ((1.0 / s) * (uu.T @ v))
+    ref = (np.log(s).sum() + 2 * np.log(sd.espec).sum()
+           + ((d - aa @ st)**2).sum())
+    np.testing.assert_allclose(chi_fast, ref, rtol=1e-6)
+    # nearest-pixel is an approximation of the spline path
+    assert abs(chi_fast - chi_exact) / chi_exact < 0.3
+
+
 def test_outside_penalty_applied():
     tm, lam_t, vecs, specs = _build_template_model()
     config = dict(min_vel=-1000, max_vel=1000, max_vsini=500)

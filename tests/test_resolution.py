@@ -43,13 +43,10 @@ def test_desi_band_roundtrip():
     res = rng.uniform(0.1, 1.0, size=(2 * w + 1, n))
     bm = rs.banded_from_desi_resolution(res)
     x = rng.normal(size=n)
-    # dense check per DESI convention: row k is diagonal (w - k)
-    dense = np.zeros((n, n))
-    for k in range(2 * w + 1):
-        off = w - k
-        for i in range(n):
-            j = i + off
-            if 0 <= j < n:
-                dense[i, j] = res[k, i]
+    # dense check per the true DESI dia convention (scipy dia_matrix,
+    # column-indexed): M[i, j] = res[k, j] with j - i = w - k
+    import scipy.sparse
+    dense = scipy.sparse.dia_matrix(
+        (res, np.arange(w, -w - 1, -1)), (n, n)).toarray()
     np.testing.assert_allclose(np.asarray(bm.matvec(jnp.asarray(x))),
                                dense @ x, rtol=1e-10, atol=1e-12)
