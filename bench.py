@@ -41,7 +41,11 @@ def log(msg):
 
 def main():
     t_start = time.time()
+    import logging
     import os
+    logging.basicConfig(
+        level=getattr(logging,
+                      os.environ.get('RVST_LOGLEVEL', 'WARNING')))
     import jax
     # persistent compilation cache: remote-compile TPU backends pay
     # tens of seconds per program; cache across bench invocations

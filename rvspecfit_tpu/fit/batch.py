@@ -14,6 +14,7 @@ resolution matrices) are stacked along the leading axis.
 """
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
@@ -435,7 +436,7 @@ class BatchedFitter:
         return out
 
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
-                       fatol=1e-3, xatol=1e-2, maxiter=2000, x0=None,
+                       fatol=1e-3, xatol=None, maxiter=2000, x0=None,
                        nm_chunk=None):
         """Batched NM over fibers, with straggler compaction.
 
@@ -472,6 +473,12 @@ class BatchedFitter:
         nvec = x0.shape[1]
         np1 = nvec + 1
         scales = mapper.scales().astype(np.float64)
+        if xatol is None:
+            # scale-normalized per-dimension tolerance: 1% of each
+            # parameter's natural scale (teff ~3 K, vel ~0.05 km/s)
+            # instead of one raw-unit scalar that the teff axis can
+            # never meet without collapsing the simplex to ~0.01 K
+            xatol = tuple(scales * 0.01)
         chunk = int(nm_chunk or min(64, maxiter))
         mb = self.microbatch or b
         dt = self.dtype
@@ -542,6 +549,8 @@ class BatchedFitter:
                 undone = np.where(~done_h)[0]
                 if undone.size == 0:
                     break
+                logging.info('NM restart %d nit %d: %d/%d unconverged',
+                              restart, nit, undone.size, b)
                 for sel, sel_p in tiles_of(undone):
                     unpack_to_host(sel, chunk_p(
                         jnp.asarray(simplex_h[sel_p], dt),

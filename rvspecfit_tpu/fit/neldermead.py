@@ -8,11 +8,11 @@ problem.  This module implements the standard simplex algorithm
 (alpha=1, gamma=2, rho=0.5, sigma=0.5, scipy-compatible fatol/xatol
 convergence) natively over a batch axis:
 
-* per iteration the reflection point is evaluated for every instance
-  (one batched call), then exactly one second candidate — the
-  expansion or the appropriate contraction, selected per instance —
-  in a second batched call: two objective evaluations per instance
-  per iteration, matching scipy's per-iteration cost;
+* per iteration ALL FOUR candidate points (reflection, expansion,
+  both contractions) are evaluated in ONE batched call — at
+  production shapes the objective is overhead-bound, so a (B, 4)
+  call costs barely more than (B, 1) and the decisions reduce
+  exactly to scipy's (every value scipy could consult is computed);
 * the rare shrink step evaluates the shrunk simplex under a
   ``lax.cond`` so its cost is paid only on iterations where some
   unconverged instance actually shrinks;
@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -80,6 +81,9 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
     b, np1, n = simplex.shape
     assert np1 == n + 1
 
+    if isinstance(xatol, (tuple, list)) or hasattr(xatol, 'shape'):
+        xatol = tuple(float(x) for x in np.asarray(xatol).ravel())
+
     if chunk is not None:
         init_fn, chunk_fn = make_stepper(fun, fatol=fatol, xatol=xatol,
                                          chunk=chunk)
@@ -118,6 +122,8 @@ def make_stepper(fun, fatol=1e-3, xatol=1e-2, chunk=64):
     (straggler compaction) — both programs are shape-polymorphic only
     in recompilation, so keep tile shapes fixed.
     """
+    if isinstance(xatol, (tuple, list)) or hasattr(xatol, 'shape'):
+        xatol = tuple(float(x) for x in np.asarray(xatol).ravel())
     key = ('stepper', fun, fatol, xatol, chunk)
     fns = _JIT_CACHE.get(key)
     if fns is None:
@@ -152,11 +158,18 @@ def _pick_row(oh, s):
 
 
 def _nm_converged(simplex, fvals, fatol, xatol):
+    """scipy-compatible convergence; ``xatol`` may be a scalar (raw
+    parameter units, scipy semantics) or a per-dimension tuple/array —
+    x-spread is then tested per dimension, so wildly different
+    parameter scales (teff ~ 1e3 vs feh ~ 1e-1) each get a physically
+    sensible tolerance instead of the tightest one dominating."""
     _, ohb, _, _, f_best = _nm_stats(simplex, fvals)
     best = _pick_row(ohb, simplex)
     fspread = jnp.max(jnp.abs(fvals - f_best[:, None]), axis=1)
-    xspread = jnp.max(jnp.abs(simplex - best[:, None, :]), axis=(1, 2))
-    return (fspread <= fatol) & (xspread <= xatol)
+    xdev = jnp.max(jnp.abs(simplex - best[:, None, :]), axis=1)  # (B,n)
+    xa = jnp.asarray(xatol, simplex.dtype)
+    xok = jnp.all(xdev <= xa, axis=1)
+    return (fspread <= fatol) & xok
 
 
 def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
@@ -180,32 +193,42 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
     best = _pick_row(ohb, simplex)
     centroid = (jnp.sum(simplex, axis=1) - worst) / n
 
+    # evaluate ALL FOUR candidates (reflection, expansion, outside and
+    # inside contraction) in ONE batched call: at production shapes
+    # the objective is dispatch/overhead-bound, so one (B, 4) call
+    # costs barely more than a (B, 1) call — nearly halving the
+    # per-iteration wall time vs the sequential two-call scheme while
+    # reproducing scipy's decisions exactly (all values it could ever
+    # consult are available)
     xr = centroid + alpha * (centroid - worst)
-    fr = fun(xr[:, None, :], *fun_args)[:, 0]           # (B,)
+    xe = centroid + gamma * (xr - centroid)
+    xc_out = centroid + rho * (xr - centroid)
+    xc_in = centroid - rho * (centroid - worst)
+    cand = jnp.stack([xr, xe, xc_out, xc_in], axis=1)   # (B, 4, n)
+    fcand = fun(cand, *fun_args)                        # (B, 4)
+    fr, fe, fco, fci = (fcand[:, 0], fcand[:, 1], fcand[:, 2],
+                        fcand[:, 3])
 
     expand = fr < f_best
     contract_out = (fr >= f_second) & (fr < f_worst)
     contract_in = fr >= f_worst
 
-    xe = centroid + gamma * (xr - centroid)
-    xc_out = centroid + rho * (xr - centroid)
-    xc_in = centroid - rho * (centroid - worst)
-    x2 = jnp.where(expand[:, None], xe,
-                   jnp.where(contract_in[:, None], xc_in, xc_out))
-    f2 = fun(x2[:, None, :], *fun_args)[:, 0]           # (B,)
-
     # accept logic per scipy:
-    #  - fr < f_best: take min(fr, fe) point
+    #  - fr < f_best: take xe if fe < fr else xr
     #  - f_best <= fr < f_second: accept xr
-    #  - contract_out: accept xc if f2 <= fr else shrink
-    #  - contract_in: accept xc if f2 < f_worst else shrink
-    take_expansion = expand & (f2 < fr)
+    #  - contract_out: accept xc_out if fco <= fr else shrink
+    #  - contract_in: accept xc_in if fci < f_worst else shrink
+    take_expansion = expand & (fe < fr)
     accept_r = (~expand & ~contract_out & ~contract_in) | \
         (expand & ~take_expansion)
-    accept_2 = take_expansion | (contract_out & (f2 <= fr)) | \
-        (contract_in & (f2 < f_worst))
+    accept_2 = take_expansion | (contract_out & (fco <= fr)) | \
+        (contract_in & (fci < f_worst))
     shrink = ~(accept_r | accept_2)
 
+    x2 = jnp.where(take_expansion[:, None], xe,
+                   jnp.where(contract_in[:, None], xc_in, xc_out))
+    f2 = jnp.where(take_expansion, fe,
+                   jnp.where(contract_in, fci, fco))
     new_point = jnp.where(accept_2[:, None], x2, xr)
     new_f = jnp.where(accept_2, f2, fr)
     replace = (~shrink)[:, None] * ohw                   # (B, n+1)

@@ -356,7 +356,8 @@ def process(specdata, paramDict0, fixParam=None, options=None, config=None,
     nm_fatol = config.get('nm_fatol') or 1e-3
     for curiter in range(1, maxiter + 1):
         nmres = nm.minimize_batch(nm_objective, simplex, fatol=nm_fatol,
-                                  xatol=1e-2, maxiter=10000,
+                                  xatol=tuple(mapper.scales() * 0.01),
+                                  maxiter=10000,
                                   chunk=nm_chunk)
         xbest = np.asarray(nmres['x'])[0]
         if bool(nmres['converged'][0]):
