@@ -74,65 +74,95 @@ def update_process_status_file(status_fname, processed_file, status,
 
 
 # ------------------- resolution matrix handling -------------------
+# Whole-exposure vectorized versions: every function takes stacked
+# (B, width, npix) bands, so an exposure's resolution matrices are
+# prepared with a handful of array ops (one batched linear solve)
+# instead of a per-fiber Python loop.
 
-def _band_torows(mat):
-    """dia-convention band (offsets +w2..-w2, column-indexed) ->
-    row-indexed band (reference: desi_fit.py:682-687)."""
-    w = mat.shape[0]
+def _band_torows(mats):
+    """dia-convention bands (offsets +w2..-w2, column-indexed) ->
+    row-indexed bands.  (..., w, npix) -> (..., w, npix); row k of the
+    output multiplies input pixel i + (k - w2) for output pixel i."""
+    mats = np.asarray(mats)
+    w = mats.shape[-2]
     w2 = w // 2
-    return np.array([np.roll(mat[k], k - w2) for k in range(w)])[::-1]
+    out = np.empty_like(mats)
+    for k in range(w):
+        out[..., w - 1 - k, :] = np.roll(mats[..., k, :], k - w2,
+                                         axis=-1)
+    return out
 
 
-def _band_tocolumns(mat_rows):
-    w = mat_rows.shape[0]
+def _band_tocolumns(rows):
+    """Inverse of :func:`_band_torows`."""
+    rows = np.asarray(rows)
+    w = rows.shape[-2]
     w2 = w // 2
-    return np.array([np.roll(mat_rows[::-1][k], w2 - k)
-                     for k in range(w)])
+    out = np.empty_like(rows)
+    for k in range(w):
+        out[..., k, :] = np.roll(rows[..., w - 1 - k, :], w2 - k,
+                                 axis=-1)
+    return out
 
 
-def deconvolve_resolution_matrix(mat0, sigma0_angstrom=0.5,
+def deconvolve_resolution_matrix(mats, sigma0_angstrom=0.5,
                                  pix_size_angstrom=0.8):
-    """Deconvolve the template LSF (sigma0) out of a DESI banded
-    resolution matrix by solving the band-width-domain Gaussian
-    system (reference: desi_fit.py:694-720)."""
-    width, npix = mat0.shape
+    """Deconvolve the template LSF (sigma0) out of DESI banded
+    resolution matrices by solving the band-width-domain Gaussian
+    system — for the WHOLE stack at once, one broadcasted
+    ``np.linalg.solve`` (reference math: desi_fit.py:694-720).
+
+    mats : (w, npix) or (B, w, npix) dia-convention bands."""
+    mats = np.asarray(mats, np.float64)
+    single = mats.ndim == 2
+    if single:
+        mats = mats[None]
+    width, npix = mats.shape[-2:]
     sig_pix = sigma0_angstrom / pix_size_angstrom
     xs = np.arange(width)
-    gau = np.array([np.exp(-0.5 * ((xs - i) / sig_pix)**2)
-                    / np.sqrt(2 * np.pi) / sig_pix for i in range(width)])
+    gau = np.exp(-0.5 * ((xs[None, :] - xs[:, None]) / sig_pix)**2) \
+        / np.sqrt(2 * np.pi) / sig_pix
     w2 = width // 2
-    rows = _band_torows(mat0)
+    rows = _band_torows(mats)
+    # zero the band entries that would reach out of the spectrum
     for i in range(w2):
-        rows[:w2 - i - 1, i] = 0
-        rows[w2 + 1 + i:, npix - 1 - i] = 0
-    rows1 = np.linalg.solve(gau, rows)
-    return _band_tocolumns(rows1)
+        rows[:, :w2 - i - 1, i] = 0
+        rows[:, w2 + 1 + i:, npix - 1 - i] = 0
+    rows1 = np.linalg.solve(np.broadcast_to(gau, (len(mats),) + gau.shape),
+                            rows)
+    out = _band_tocolumns(rows1)
+    return out[0] if single else out
 
 
-def prepare_resolution_band(mat, pix_size_angstrom=None,
+def prepare_resolution_band(mats, pix_size_angstrom=None,
                             sigma0_angstrom=None):
-    """Deconvolve + edge-renormalize one fiber's banded resolution;
-    returns ROW-indexed band data for ops.resolution.BandedMatrix
-    (reference edge handling: desi_fit.py:723-748)."""
-    mat = deconvolve_resolution_matrix(
-        mat, sigma0_angstrom=sigma0_angstrom,
+    """Deconvolve + edge-renormalize banded resolutions; returns
+    ROW-indexed band data for ops.resolution.BandedMatrix
+    (reference edge handling: desi_fit.py:723-748), vectorized over
+    the fiber axis.
+
+    mats : (w, npix) or (B, w, npix); returns the same leading shape.
+    rows[..., k, i] = M[i, i + (k - w2)] — consumed with offsets
+    (k - w2) by fit/batch.py and tests/test_desi_resolution.py."""
+    mats = np.asarray(mats, np.float64)
+    single = mats.ndim == 2
+    if single:
+        mats = mats[None]
+    dec = deconvolve_resolution_matrix(
+        mats, sigma0_angstrom=sigma0_angstrom,
         pix_size_angstrom=pix_size_angstrom)
-    width, npix = mat.shape
+    width, npix = dec.shape[-2:]
     w2 = width // 2
-    rows = _band_torows(mat)
-    mult = np.median(rows.sum(axis=0))
-    if mult == 0:
-        mult = 1
+    rows = _band_torows(dec)
+    mult = np.median(rows.sum(axis=1), axis=-1)           # (B,)
+    mult = np.where(mult == 0, 1.0, mult)
     for i in range(w2):
-        n1 = rows[w2 - i:, i].sum()
-        rows[:, i] = rows[:, i] / (n1 + (n1 == 0)) * mult
+        n1 = rows[:, w2 - i:, i].sum(axis=1)
+        rows[:, :, i] *= (mult / (n1 + (n1 == 0)))[:, None]
         j = npix - 1 - i
-        n2 = rows[:w2 + 1 + i, j].sum()
-        rows[:, j] = rows[:, j] / (n2 + (n2 == 0)) * mult
-    # rows[k, i] = M[i, i + (k - w2)]: row-oriented band storage;
-    # consumed with offsets (k - w2) by fit/batch.py and
-    # tests/test_desi_resolution.py
-    return rows
+        n2 = rows[:, :w2 + 1 + i, j].sum(axis=1)
+        rows[:, :, j] *= (mult / (n2 + (n2 == 0)))[:, None]
+    return rows[0] if single else rows
 
 
 # ------------------------- file reading ---------------------------
@@ -252,26 +282,24 @@ def select_fibers_to_fit(fibermap, sns, minsn=None, fit_targetid=None,
 
 # --------------------- per-fiber data assembly --------------------
 
-def interpolate_bad_regions(spec, mask):
-    """Linear infill of contiguous bad regions
-    (reference: desi_fit.py:751-778)."""
-    xind = np.nonzero(mask)[0]
-    if len(xind) == 0 or len(xind) == len(spec):
-        return spec
-    spec1 = spec.copy()
-    edges = np.nonzero(np.diff(xind, prepend=-10) > 1)[0]
-    for i in range(len(edges)):
-        lh = xind[edges[i]]
-        rh = xind[edges[i + 1] - 1] if i < len(edges) - 1 else xind[-1]
-        if lh == 0:
-            spec1[:rh + 1] = spec[rh + 1]
-        elif rh == len(spec) - 1:
-            spec1[lh:] = spec[lh - 1]
-        else:
-            spec1[lh:rh + 1] = np.interp(
-                np.arange(lh, rh + 1), [lh - 1, rh + 1],
-                [spec[lh - 1], spec[rh + 1]])
-    return spec1
+def interpolate_bad_regions(specs, masks):
+    """Linear infill of masked regions from the nearest good
+    neighbors, vectorized over the fiber axis (one call per exposure
+    instead of a per-fiber/per-region Python loop; same outcome as
+    the reference per-region interpolation, desi_fit.py:751-778).
+
+    specs, masks : (npix,) or (B, npix); returns the input shape."""
+    from rvspecfit_tpu.ops import continuum as continuum_mod
+    specs = np.asarray(specs, np.float64)
+    single = specs.ndim == 1
+    s2 = np.atleast_2d(specs)
+    m2 = np.atleast_2d(np.asarray(masks, bool))
+    pix = np.arange(s2.shape[1], dtype=np.float64)
+    out = continuum_mod.infill_bad_pixels(pix, s2, m2)
+    # fully-masked rows pass through unchanged (reference behavior)
+    allbad = m2.all(axis=1)
+    out[allbad] = s2[allbad]
+    return out[0] if single else out
 
 
 def build_batch_arms(waves, fluxes, ivars, masks, resolutions, subset,
@@ -304,11 +332,9 @@ def build_batch_arms(waves, fluxes, ivars, masks, resolutions, subset,
         if use_resolution_matrix and resolutions[s] is not None:
             dwave = wave[1] - wave[0]
             sig0 = (lsf_sigma0_angstrom or {}).get(s, 0.5)
-            res_band = np.array([
-                prepare_resolution_band(resolutions[s][i],
-                                        pix_size_angstrom=dwave,
-                                        sigma0_angstrom=sig0)
-                for i in idx])
+            res_band = prepare_resolution_band(
+                np.asarray(resolutions[s])[idx],
+                pix_size_angstrom=dwave, sigma0_angstrom=sig0)
             edge_mask[:5] = True
             edge_mask[-5:] = True
         badall = baddat | mask | baderr | dicroic | edge_mask[None, :]
@@ -323,8 +349,7 @@ def build_batch_arms(waves, fluxes, ivars, masks, resolutions, subset,
                            medspec, 1.0)
         ivar = np.where(badall,
                         1.0 / medspec[:, None]**2 / large_error**2, ivar)
-        for i in range(nf):
-            flux[i] = interpolate_bad_regions(flux[i], badall_interp[i])
+        flux = interpolate_bad_regions(flux, badall_interp)
         with np.errstate(divide='ignore'):
             espec = 1.0 / np.sqrt(ivar)
         good = ~badall

@@ -82,6 +82,46 @@ def test_prepare_band_matches_dense_application():
                                y_dense[interior], rtol=1e-8)
 
 
+def test_batched_prepare_matches_single():
+    """The fiber-vectorized band preparation equals per-fiber calls."""
+    rng = np.random.RandomState(7)
+    nfib, npix, width = 5, 80, 11
+    mats = _gauss_dia(2.0, width, npix)[None] \
+        * (1 + 0.1 * rng.rand(nfib, width, npix))
+    got = desi.prepare_resolution_band(mats, pix_size_angstrom=0.8,
+                                       sigma0_angstrom=0.5)
+    for i in range(nfib):
+        one = desi.prepare_resolution_band(mats[i],
+                                           pix_size_angstrom=0.8,
+                                           sigma0_angstrom=0.5)
+        np.testing.assert_allclose(got[i], one, rtol=1e-12)
+
+
+def test_interpolate_bad_regions_batch():
+    """Vectorized infill: interior gaps interpolate linearly, edge
+    runs take the nearest good value, fully-masked rows pass through."""
+    spec = np.arange(10, dtype=float)**2
+    mask = np.zeros(10, bool)
+    mask[3:6] = True
+    out = desi.interpolate_bad_regions(spec, mask)
+    np.testing.assert_allclose(
+        out[3:6], np.interp([3, 4, 5], [2, 6], [4.0, 36.0]))
+    # edges
+    mask2 = np.zeros(10, bool)
+    mask2[:2] = True
+    mask2[-1] = True
+    out2 = desi.interpolate_bad_regions(spec, mask2)
+    assert out2[0] == out2[1] == spec[2]
+    assert out2[-1] == spec[-2]
+    # batch == singles; all-masked row unchanged
+    specs = np.stack([spec, spec, spec])
+    masks = np.stack([mask, mask2, np.ones(10, bool)])
+    outb = desi.interpolate_bad_regions(specs, masks)
+    np.testing.assert_allclose(outb[0], out)
+    np.testing.assert_allclose(outb[1], out2)
+    np.testing.assert_allclose(outb[2], spec)
+
+
 def test_band_conversions_roundtrip():
     rng = np.random.RandomState(3)
     band = rng.rand(7, 50)
