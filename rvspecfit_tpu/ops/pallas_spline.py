@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 512
+DEFAULT_TILE = 256   # on-chip sweep: 256 beats 512/128 (tools/ab)
 ROWS = 8          # rows per program (TPU sublane granularity)
 
 
