@@ -474,11 +474,12 @@ class BatchedFitter:
         np1 = nvec + 1
         scales = mapper.scales().astype(np.float64)
         if xatol is None:
-            # scale-normalized per-dimension tolerance: 1% of each
-            # parameter's natural scale (teff ~3 K, vel ~0.05 km/s)
-            # instead of one raw-unit scalar that the teff axis can
-            # never meet without collapsing the simplex to ~0.01 K
-            xatol = tuple(scales * 0.01)
+            # scale-normalized per-dimension tolerance: 3% of each
+            # parameter's natural scale (teff ~9 K, vel ~0.15 km/s —
+            # two orders below typical uncertainties) instead of one
+            # raw-unit scalar the teff axis can never meet without
+            # collapsing the simplex to ~0.01 K
+            xatol = tuple(scales * 0.03)
         chunk = int(nm_chunk or min(64, maxiter))
         mb = self.microbatch or b
         dt = self.dtype
