@@ -282,6 +282,75 @@ def test_desi_resolution_matrix(coadd_resolution_file, desi_library,
         assert abs(rv['TEFF'][i] - truth['teff'][i]) < 2500
 
 
+def test_desi_zbest_selection(coadd_file, desi_library, tmp_path):
+    """--zbest_select keeps only redrock STAR / |cz|<1500 km/s objects
+    and carries RR_* columns (reference: desi_fit.py:546-679)."""
+    fname, truth = coadd_file
+    # synthetic redrock file next to the coadd: fibers 0,1 stars,
+    # 2 a galaxy at z=0.5, 3,4 missing spectype STAR but low |cz|
+    tids = np.arange(NFIB, dtype=np.int64) + 39620000000
+    z = np.array([1e-4, -2e-4, 0.5, 1e-3, 0.3])
+    spectype = np.array(['STAR', 'STAR', 'GALAXY', 'GALAXY', 'QSO'])
+    rr = str(tmp_path / 'redrock-test.fits')
+    fitsio.write(rr, [dict(kind='image', data=None),
+                      dict(kind='table', name='REDSHIFTS', data=[
+                          ('TARGETID', tids), ('Z', z),
+                          ('SPECTYPE', spectype),
+                          ('SUBTYPE', np.array(['none'] * NFIB))])])
+    outdir = str(tmp_path / 'outz')
+    from rvspecfit_tpu.utils import freeze
+    config = freeze(dict(min_vel=-1000, max_vel=1000, vel_step0=5,
+                         max_vsini=500, min_vsini=1e-2, min_vel_step=0.2,
+                         second_minimizer=False,
+                         template_lib=desi_library))
+    os.makedirs(outdir)
+    nfit = desi.proc_desi(
+        fname, os.path.join(outdir, 'rvtab-z.fits'),
+        os.path.join(outdir, 'rvmod-z.fits'), None, config,
+        {'npoly': 10}, zbest_path=rr, zbest_select=True)
+    rv = fitsio.read(os.path.join(outdir, 'rvtab-z.fits'))['RVTAB'].data
+    # fibers 0, 1 (STAR) and 3 (|cz| = 300 km/s < 1500); fiber 2 is a
+    # z=0.5 galaxy, fiber 4 is fully masked (S/N cut upstream)
+    assert nfit == 3
+    assert set(rv['TARGETID']) == {tids[0], tids[1], tids[3]}
+    np.testing.assert_allclose(rv['RR_Z'], z[[0, 1, 3]])
+    assert list(rv['RR_SPECTYPE']) == ['STAR', 'STAR', 'GALAXY']
+
+
+def test_desi_queue_mode_and_crash_isolation(coadd_file, desi_library,
+                                             tmp_path, monkeypatch):
+    """Lock-file queue input mode (reference CI: desi_fit.sh:37) and
+    per-file crash isolation (crash log + FAILURE status; reference
+    fault-injection test passes an unwritable figure path)."""
+    fname, _ = coadd_file
+    # corrupt input file: not FITS at all
+    badf = str(tmp_path / 'coadd-broken.fits')
+    with open(badf, 'w') as fp:
+        fp.write('this is not a FITS file')
+    qfile = tmp_path / 'queue.txt'
+    qfile.write_text(f'{badf}\n{fname}\n')
+    outdir = str(tmp_path / 'outq')
+    status = str(tmp_path / 'statusq.txt')
+    monkeypatch.chdir(tmp_path)      # crash logs land here
+    desi.main(['--input_file_from', str(qfile), '--queue_file',
+               '--output_dir', outdir, '--templ_lib', desi_library,
+               '--targetid', '39620000001',
+               '--process_status_file', status])
+    with open(status) as fp:
+        lines = fp.read().strip().splitlines()
+    stat = {ln.split()[0]: ln.split()[1] for ln in lines}
+    assert stat[badf] == 'FAILURE'
+    assert stat[fname] == 'SUCCESS'
+    # queue file consumed
+    assert qfile.read_text() == ''
+    # crash log written for the broken file
+    assert any(p.name.startswith('crash_')
+               for p in tmp_path.iterdir())
+    # the good file still produced its outputs
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
+    assert len(tab['RVTAB'].data['VRAD']) == 1
+
+
 def test_desi_empty_selection(coadd_file, desi_library, tmp_path):
     fname, _ = coadd_file
     outdir = str(tmp_path / 'out3')
