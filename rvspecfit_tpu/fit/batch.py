@@ -216,12 +216,13 @@ class BatchedFitter:
         self._chisq_fibers = jax.jit(jax.vmap(
             chisq_one_fiber, in_axes=(self.arm_axes, 0, 0, 0)))
 
-        def scan_one_fiber(arms_slice, vels, param, vsini):
+        def scan_one_fiber(arms_slice, vels, param, vsini,
+                           fast_interp=False):
             return likelihood_scan_core(
                 arms_slice, self.templates, vels, param, vsini,
                 badchi=self.badchi, use_vsini=self.use_vsini,
                 half_widths=self._half_widths, outside_penalty=True,
-                solve_dtype=self.solve_dtype)
+                solve_dtype=self.solve_dtype, fast_interp=fast_interp)
 
         # fast velocity-scan path: template stage once per fiber
         self._scan_one_fiber = scan_one_fiber
@@ -611,7 +612,8 @@ class BatchedFitter:
 
         nv_win = 160  # window grids after the first full-range pass
 
-        def step_one(arms_slice, nv_cur, state, param, vsini):
+        def step_one(arms_slice, nv_cur, state, param, vsini,
+                     fast_interp=False):
             """One refinement iteration on an nv_cur-point grid."""
             dt = self.dtype
             best, lo, hi, step, done, stats = state
@@ -620,7 +622,8 @@ class BatchedFitter:
             mask = grid < hi
             mask = mask.at[0].set(True)   # at least one valid point
             grid = jnp.where(mask, grid, grid[0])
-            chi = self._scan_one_fiber(arms_slice, grid, param, vsini)
+            chi = self._scan_one_fiber(arms_slice, grid, param, vsini,
+                                       fast_interp=fast_interp)
             new_stats = _device_scan_stats(grid, mask, chi)
             stats = jnp.where(done, stats, new_stats)
             best_new = jnp.where(done, best, new_stats[0])
@@ -641,11 +644,12 @@ class BatchedFitter:
                     done | stop,
                     stats)
 
-        def step_all(nv_cur):
+        def step_all(nv_cur, fast_interp=False):
             def fn(arms, s0, s1, s2, s3, s4, s5, params, vsinis):
                 st = jax.vmap(
                     lambda a, t0, t1, t2, t3, t4, t5, p, w: step_one(
-                        a, nv_cur, (t0, t1, t2, t3, t4, t5), p, w),
+                        a, nv_cur, (t0, t1, t2, t3, t4, t5), p, w,
+                        fast_interp=fast_interp),
                     in_axes=(self.arm_axes,) + (0,) * 8)(
                         arms, s0, s1, s2, s3, s4, s5, params, vsinis)
                 return st + (jnp.all(st[4]),)
@@ -654,7 +658,9 @@ class BatchedFitter:
         # two small single-step programs (full-range + window) driven
         # from the host with a tiny converged-flag fetch per iteration
         # — each contains the scan likelihood exactly once, keeping
-        # remote TPU compiles tractable
+        # remote TPU compiles tractable.  (Measured on chip: running
+        # the broad pass in fast_interp nearest-pixel mode is SLOWER —
+        # the XLA gather it lowers to loses to the Pallas cubic.)
         return step_all(nv), step_all(nv_win)
 
     def refine_velocities(self, best_vel, params, vsinis=None,
