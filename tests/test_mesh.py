@@ -35,6 +35,37 @@ def test_sharded_chisq_matches_unsharded():
     np.testing.assert_allclose(got, ref, rtol=1e-10)
 
 
+def test_sharded_neldermead_matches_unsharded():
+    """The full batched NM (straggler compaction, device gathers)
+    produces identical optima when the fitter is laid out over the
+    device mesh."""
+    from rvspecfit_tpu.fit import vel_fit
+
+    tm = simulation.build_template_model(4, 4, 4, 3, npix=1024)
+    arms_data, truth = simulation.make_exposure(8, npix_arm=300,
+                                                snr=100, seed=5)
+    arms = [BatchArm(n, lam, fl, iv)
+            for n, (lam, fl, iv) in arms_data.items()]
+    templates = {n: tm for n in arms_data}
+    mapper = vel_fit.ParamMapper(
+        tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
+        [], None, False)
+    x0 = np.concatenate(
+        [truth['vel'][:, None] + 15.0,
+         np.tile([6000.0, 3.0, -1.0, 0.5], (8, 1))], axis=1)
+
+    bf = BatchedFitter(arms, templates, CONFIG, options={'npoly': 6})
+    ref = bf.run_neldermead(mapper, truth['vel'], x0=x0, nm_chunk=32,
+                            maxiter=256)
+
+    bf2 = BatchedFitter(arms, templates, CONFIG, options={'npoly': 6})
+    pmesh.shard_fitter(bf2, pmesh.make_mesh())
+    got = bf2.run_neldermead(mapper, truth['vel'], x0=x0, nm_chunk=32,
+                             maxiter=256)
+    np.testing.assert_allclose(got['x'], ref['x'], rtol=1e-8)
+    np.testing.assert_array_equal(got['converged'], ref['converged'])
+
+
 def test_sharded_scan_and_refine():
     tm = simulation.build_template_model(4, 4, 4, 3, npix=1024)
     arms_data, truth = simulation.make_exposure(8, npix_arm=300, snr=100,
