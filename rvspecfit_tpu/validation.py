@@ -29,7 +29,8 @@ C_KMS = 299792.458
 
 def run_accuracy(ntrials=1000, snr=300.0, npix=400, resol=1000.0,
                  seed=1, templates=None, config=None, microbatch=None,
-                 fit_start=(6000.0, 3.0, -1.0, 0.5), npoly=10):
+                 fit_start=(6000.0, 3.0, -1.0, 0.5), npoly=10,
+                 nm_chunk=None, fatol=1e-3, maxiter=2000):
     """Fit ``ntrials`` random synthetic spectra; return pull statistics.
     """
     if config is None:
@@ -71,7 +72,9 @@ def run_accuracy(ntrials=1000, snr=300.0, npix=400, resol=1000.0,
         np.tile(fit_start, (ntrials, 1)))
     mapper = vel_fit.ParamMapper(
         tm.parnames, dict(zip(tm.parnames, fit_start)), [], None, False)
-    nmres = bf.run_neldermead(mapper, scan['best_vel'])
+    nmres = bf.run_neldermead(mapper, scan['best_vel'],
+                              nm_chunk=nm_chunk, fatol=fatol,
+                              maxiter=maxiter)
     vel_b, params_b, _ = mapper.unpack_host(nmres['x'])
     ref = bf.refine_velocities(vel_b, params_b)
 
@@ -98,11 +101,17 @@ def main(args=None):
     parser.add_argument('--npix', type=int, default=400)
     parser.add_argument('--seed', type=int, default=1)
     parser.add_argument('--microbatch', type=int, default=None)
+    parser.add_argument('--nm_chunk', type=int, default=None,
+                        help='chunked NM for remote TPU backends')
+    parser.add_argument('--fatol', type=float, default=1e-3)
+    parser.add_argument('--maxiter', type=int, default=2000)
     args = parser.parse_args(args)
     logging.basicConfig(level=logging.INFO)
     stats, _ = run_accuracy(ntrials=args.ntrials, snr=args.snr,
                             npix=args.npix, seed=args.seed,
-                            microbatch=args.microbatch)
+                            microbatch=args.microbatch,
+                            nm_chunk=args.nm_chunk, fatol=args.fatol,
+                            maxiter=args.maxiter)
     print(json.dumps(stats))
 
 
