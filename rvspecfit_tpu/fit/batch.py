@@ -296,6 +296,20 @@ class BatchedFitter:
         self.arms_ad
         return self._arm_axes_ad
 
+    @property
+    def _chisq_fibers_ad(self):
+        """Batched chisq vmapped over the AD (no-Pallas) arm axes."""
+        if not hasattr(self, '_chisq_fibers_ad_fn'):
+            def chisq_one_fiber(arms_slice, vels, params, vsinis):
+                return chisq_trials_core(
+                    arms_slice, self.templates, vels, params, vsinis,
+                    badchi=self.badchi, use_vsini=self.use_vsini,
+                    half_widths=self._half_widths, outside_penalty=True,
+                    solve_dtype=self.solve_dtype)
+            self._chisq_fibers_ad_fn = jax.vmap(
+                chisq_one_fiber, in_axes=(self.arm_axes_ad, 0, 0, 0))
+        return self._chisq_fibers_ad_fn
+
     def _run_mb(self, fn, *per_fiber_args, arms=None):
         """Run fn(arms, *args) over fiber tiles; concatenate outputs.
 
@@ -566,7 +580,116 @@ class BatchedFitter:
         return dict(x=simplex_h[rows, ib], fun=fvals_h[rows, ib],
                     converged=done_h.copy())
 
-    def _make_objective(self, mapper, priors=None):
+    def run_polish(self, mapper, x, priors=None, steps=2, fun0=None):
+        """Batched gradient polish — the ``second_minimizer`` stage.
+
+        The reference runs a BFGS polish over [vel, params] after
+        Nelder-Mead for every object when config['second_minimizer']
+        is set (default True; reference py/rvspecfit/vel_fit.py:653-660,
+        utils.py:26).  Here the polish is ``steps`` batched
+        damped-Newton iterations over the NON-velocity coordinates
+        [vsini?, free params], using *exact* AD gradients/Hessians of
+        the fused likelihood; the velocity coordinate is deliberately
+        left to the refinement stage, which re-measures it by exact
+        grid scan immediately after (block coordinate descent — the
+        vel direction of the AD Hessian routes through the
+        Doppler-gather index chain, which costs ~15x the parameter
+        directions on TPU, and the scan optimizes it globally rather
+        than locally anyway).  Each iteration solves
+        (H + ridge) dx = -grad and evaluates a fixed step ladder
+        [1, 0.25, 0.05] plus the current point in ONE batched call; a
+        fiber's state moves only when a trial strictly improves its
+        chi-square, so the polish never degrades the NM result.
+
+        x : (B, nvec) NM optima; fun0 : optional (B,) NM best values.
+        Returns dict with x (B, nvec), fun (B,), moved (B,).
+        """
+        key = ('polish', id(mapper), steps,
+               None if priors is None else
+               tuple(sorted((k, tuple(v)) for k, v in priors.items())))
+        fn = self._objective_cache.get(key)
+        if fn is None:
+            objective = self._make_objective(mapper, priors, ad=True)
+            prior_rows = []
+            if priors:
+                for i, pname in enumerate(mapper.specParams):
+                    if pname in priors:
+                        mu, sig = priors[pname]
+                        prior_rows.append((i, float(mu), float(sig)))
+
+            def scalar_obj(arms_one, vel, rest):
+                # rest: (nvec-1,) non-velocity coordinates -> scalar
+                # differentiable -2logL for ONE fiber (arms_one: the
+                # vmap-stripped per-fiber ArmState list)
+                xv = jnp.concatenate([vel[None], rest])
+                _, params, vsini, penalty = mapper.unpack(xv[None])
+                chi = chisq_trials_core(
+                    arms_one, self.templates, vel[None], params, vsini,
+                    badchi=self.badchi, use_vsini=self.use_vsini,
+                    half_widths=self._half_widths, outside_penalty=True,
+                    solve_dtype=self.solve_dtype)[0]
+                for i, mu, sig in prior_rows:
+                    chi = chi + ((params[0, i] - mu) / sig)**2
+                return chi + penalty[0]
+
+            ladder = jnp.asarray([1.0, 0.25, 0.05])
+
+            def polish_tile(arms_slice, x0, f0):
+                def body(_, carry):
+                    xc, fc = carry
+                    vel, rest = xc[:, 0], xc[:, 1:]
+                    g = jax.vmap(jax.grad(scalar_obj, argnums=2),
+                                 in_axes=(self.arm_axes_ad, 0, 0))(
+                                     arms_slice, vel, rest)
+                    h = jax.vmap(jax.hessian(scalar_obj, argnums=2),
+                                 in_axes=(self.arm_axes_ad, 0, 0))(
+                                     arms_slice, vel, rest)
+                    dh = jnp.abs(jnp.diagonal(h, axis1=-2, axis2=-1))
+                    ridge = 1e-6 * jnp.maximum(dh, 1e-12)
+                    hs = h + jax.vmap(jnp.diag)(ridge)
+                    dx = -jnp.linalg.solve(hs, g[..., None])[..., 0]
+                    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+                    cand_rest = rest[:, None, :] \
+                        + ladder[None, :, None].astype(xc.dtype) \
+                        * dx[:, None, :]
+                    cand = jnp.concatenate([
+                        jnp.broadcast_to(vel[:, None, None],
+                                         cand_rest.shape[:2] + (1,)),
+                        cand_rest], axis=2)
+                    cand = jnp.concatenate([cand, xc[:, None, :]],
+                                           axis=1)          # (B, 4, n)
+                    fcand = objective(cand, arms_slice)      # (B, 4)
+                    fcand = jnp.where(jnp.isfinite(fcand), fcand,
+                                      jnp.inf)
+                    ib = jnp.argmin(fcand, axis=1)
+                    oh = jax.nn.one_hot(ib, fcand.shape[1],
+                                        dtype=xc.dtype)
+                    fbest = jnp.sum(oh * fcand, axis=1)
+                    xbest = jnp.sum(jnp.where(oh[:, :, None] > 0, cand,
+                                              0.0), axis=1)
+                    better = fbest < fc
+                    return (jnp.where(better[:, None], xbest, xc),
+                            jnp.where(better, fbest, fc))
+
+                xf, ff = jax.lax.fori_loop(0, steps, body, (x0, f0))
+                return xf, ff
+
+            fn = jax.jit(polish_tile)
+            self._objective_cache[key] = fn
+
+        dt = self.dtype
+        x = np.asarray(x, np.float64)
+        if fun0 is None:
+            fun0 = np.full(x.shape[0], np.inf)
+        xf, ff = self._run_mb(fn, jnp.asarray(x, dt),
+                              jnp.asarray(np.asarray(fun0), dt),
+                              arms=self.arms_ad)
+        xf = np.asarray(xf, np.float64)
+        ff = np.asarray(ff, np.float64)
+        moved = np.any(xf != x, axis=1)
+        return dict(x=xf, fun=ff, moved=moved)
+
+    def _make_objective(self, mapper, priors=None, ad=False):
         min_vel = float(self.config['min_vel'])
         max_vel = float(self.config['max_vel'])
         prior_rows = []
@@ -586,8 +709,9 @@ class BatchedFitter:
             params = params.reshape(b, k, -1)
             vsini = vsini.reshape(b, k)
             penalty = penalty.reshape(b, k)
-            chis = self._chisq_fibers.__wrapped__(arms, vel, params,
-                                                  vsini)
+            chisq_b = self._chisq_fibers_ad if ad else \
+                self._chisq_fibers.__wrapped__
+            chis = chisq_b(arms, vel, params, vsini)
             for i, mu, sig in prior_rows:
                 chis = chis + ((params[:, :, i] - mu) / sig)**2
             chis = chis + penalty
@@ -653,15 +777,43 @@ class BatchedFitter:
                     in_axes=(self.arm_axes,) + (0,) * 8)(
                         arms, s0, s1, s2, s3, s4, s5, params, vsinis)
                 return st + (jnp.all(st[4]),)
-            return jax.jit(fn)
+            return fn
 
-        # two small single-step programs (full-range + window) driven
-        # from the host with a tiny converged-flag fetch per iteration
-        # — each contains the scan likelihood exactly once, keeping
-        # remote TPU compiles tractable.  (Measured on chip: running
-        # the broad pass in fast_interp nearest-pixel mode is SLOWER —
-        # the XLA gather it lowers to loses to the Pallas cubic.)
-        return step_all(nv), step_all(nv_win)
+        full_step = step_all(nv)
+        win_step = step_all(nv_win)
+
+        # ONE jitted program per tile: the full-range pass followed by
+        # a lax.while_loop of window passes.  On the remote TPU tunnel
+        # every dispatched program pays ~25 ms latency plus a host
+        # sync, so the previous step-per-dispatch driver spent more
+        # time in round trips than in device compute.  (Measured on
+        # chip: running the broad pass in fast_interp nearest-pixel
+        # mode is SLOWER — the XLA gather it lowers to loses to the
+        # Pallas cubic.)
+        def refine_prog(arms, best0, params, vsinis):
+            bb = best0.shape[0]
+            dt = best0.dtype
+            state = (jnp.clip(best0, min_vel0, max_vel0),
+                     jnp.full(bb, min_vel0, dt),
+                     jnp.full(bb, max_vel0, dt),
+                     jnp.full(bb, vel_step0, dt),
+                     jnp.zeros(bb, bool), jnp.zeros((bb, 5), dt))
+            out = full_step(arms, *state, params, vsinis)
+            state = out[:6]
+
+            def cond(carry):
+                it, st = carry
+                return (it < maxiter) & ~jnp.all(st[4])
+
+            def body(carry):
+                it, st = carry
+                out = win_step(arms, *st, params, vsinis)
+                return it + 1, out[:6]
+
+            _, state = jax.lax.while_loop(cond, body, (1, state))
+            return state[5]
+
+        return jax.jit(refine_prog)
 
     def refine_velocities(self, best_vel, params, vsinis=None,
                           maxiter=10):
@@ -675,36 +827,17 @@ class BatchedFitter:
                             - float(self.config['min_vel']))
                            / float(self.config['vel_step0']))) + 1
         key = ('refine', nv, maxiter)
-        fns = self._objective_cache.get(key)
-        if fns is None:
-            fns = self._build_refine(nv, maxiter)
-            self._objective_cache[key] = fns
-        full_fn, win_fn = fns
+        refine_fn = self._objective_cache.get(key)
+        if refine_fn is None:
+            refine_fn = self._build_refine(nv, maxiter)
+            self._objective_cache[key] = refine_fn
         dt = self.dtype
         vs = jnp.zeros(b, dt) if vsinis is None else \
             jnp.asarray(vsinis, dt)
         params_j = jnp.asarray(params, dt)
-        min_vel0 = float(self.config['min_vel'])
-        max_vel0 = float(self.config['max_vel'])
-
-        def run_tile(arms_slice, best0, par, w):
-            bb = best0.shape[0]
-            state = (jnp.clip(best0, min_vel0, max_vel0),
-                     jnp.full(bb, min_vel0, dt),
-                     jnp.full(bb, max_vel0, dt),
-                     jnp.full(bb, float(self.config['vel_step0']), dt),
-                     jnp.zeros(bb, bool), jnp.zeros((bb, 5), dt))
-            out = full_fn(arms_slice, *state, par, w)
-            state, alldone = out[:6], out[6]
-            it = 1
-            while it < maxiter and not bool(alldone):
-                out = win_fn(arms_slice, *state, par, w)
-                state, alldone = out[:6], out[6]
-                it += 1
-            return state[5]
 
         packed = np.asarray(self._run_mb(
-            run_tile, jnp.asarray(best_vel, dt), params_j, vs))
+            refine_fn, jnp.asarray(best_vel, dt), params_j, vs))
         return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
                     best_chi=packed[:, 2], skewness=packed[:, 3],
                     kurtosis=packed[:, 4])

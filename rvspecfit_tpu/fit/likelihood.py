@@ -95,10 +95,9 @@ def _eval_doppler_single(arm, tm, coeffs, vels, fast_interp=False):
             return spline_mod.nearest_eval_index(tm.geom, coeffs, u)[0]
         if getattr(arm, 'pallas_window', None):
             from rvspecfit_tpu.ops import pallas_spline as ps
-            return ps.spline_eval_index_pallas(
-                tm.geom, jnp.broadcast_to(
-                    coeffs[None], (u.shape[0],) + coeffs.shape),
-                u, arm.pallas_window, interpret=_pallas_interpret())[0]
+            return ps.spline_eval_index_pallas_shared(
+                tm.geom, coeffs, u, arm.pallas_window,
+                interpret=_pallas_interpret())[0]
         return spline_mod.spline_eval_index(tm.geom, coeffs, u)[0]
     beta = vels / SPEED_OF_LIGHT
     dop = jnp.sqrt((1.0 - beta) / (1.0 + beta))

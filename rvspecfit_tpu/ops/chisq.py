@@ -53,6 +53,71 @@ def chol_solve_logdet(m, v, ridge_rel=1e-10):
     return a, logdet
 
 
+def basis_products(polys):
+    """Static (npoly^2, npix) matrix of pairwise basis products.
+
+    Row (p*npoly+q) is polys[p] * polys[q].  With it, the normal
+    matrices of a whole batch of trials become ONE well-shaped matmul
+    (npix-contraction, (T, npoly^2) output) instead of T tiny
+    (npoly, npix) x (npix, npoly) products whose 10x10 outputs pad to
+    128x128 MXU tiles (<1% utilization)."""
+    npoly = polys.shape[0]
+    prod = polys[:, None, :] * polys[None, :, :]
+    return prod.reshape(npoly * npoly, polys.shape[1])
+
+
+def chisq_continuum_marg_batch(dvec, templ_over_espec, polys, polys_prod,
+                               log_espec_sum, solve_dtype=None,
+                               with_coeffs=False):
+    """Batched continuum-marginalized -2 log L — (T, npix) trials.
+
+    Same math and residual-form stability as
+    :func:`chisq_continuum_marg`, restructured for the MXU: with
+    w = (t/s)^2 the normal matrices are M = w @ polys_prod^T
+    ((T, npix) x (npix, npoly^2) — one large matmul), the projections
+    V = (d*t/s) @ polys^T, and the residual uses the regrouping
+    d - (a @ polys) * t/s so every matmul contracts over npix with a
+    batch-sized output dimension.
+
+    dvec : (npix,) or (T, npix); templ_over_espec : (T, npix);
+    polys : (npoly, npix); polys_prod : (npoly^2, npix) from
+    :func:`basis_products`; log_espec_sum : scalar.
+    Returns (T,) chisq [and (T, npoly) coeffs].
+    """
+    dt = templ_over_espec.dtype
+    npoly = polys.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    scale = jnp.max(jnp.abs(templ_over_espec), axis=-1, keepdims=True)
+    scale = jnp.maximum(scale, jnp.finfo(dt).tiny)
+    tnorm = templ_over_espec / scale                       # (T, npix)
+
+    w = tnorm * tnorm
+    m = jnp.dot(w, polys_prod.T, preferred_element_type=dt,
+                precision=hp).reshape(w.shape[:-1] + (npoly, npoly))
+    dv = dvec if dvec.ndim == tnorm.ndim else dvec[None, :]
+    v = jnp.dot(dv * tnorm, polys.T, preferred_element_type=dt,
+                precision=hp)                              # (T, npoly)
+
+    if solve_dtype is not None:
+        a, logdet = chol_solve_logdet(m.astype(solve_dtype),
+                                      v.astype(solve_dtype))
+        a = a.astype(dt)
+        logdet = logdet.astype(dt)
+    else:
+        a, logdet = chol_solve_logdet(m, v)
+
+    # residual form, regrouped: d - (a @ polys) * tnorm
+    cont = jnp.dot(a, polys, preferred_element_type=dt,
+                   precision=hp)                           # (T, npix)
+    resid = dv - cont * tnorm
+    chisq = (logdet + 2.0 * npoly * jnp.log(scale[..., 0])
+             + 2.0 * log_espec_sum
+             + jnp.sum(resid * resid, axis=-1))
+    if with_coeffs:
+        return chisq, a / scale
+    return chisq
+
+
 def chisq_continuum_marg(dvec, templ_over_espec, polys, log_espec_sum,
                          solve_dtype=None, with_coeffs=False):
     """Continuum-marginalized -2 log L for one dataset and one template.

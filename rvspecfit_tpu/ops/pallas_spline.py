@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: windowed-DMA Doppler spline evaluation.
+"""Pallas TPU kernel: windowed Doppler spline evaluation.
 
 The hot inner op of the fused likelihood is evaluating T per-trial
 cubic splines at npix Doppler-shifted query points
@@ -6,18 +6,33 @@ cubic splines at npix Doppler-shifted query points
 a generic gather; but the queries of one row are MONOTONIC in pixel
 (wavelengths increase), so the coefficients a pixel tile needs form a
 narrow contiguous window of knot intervals.  This kernel exploits
-that structure (the plan named in docs/performance.md):
+that structure:
 
 * grid (R/8, npix/TILE): one program per (8-row block, pixel tile) —
   TPU block shapes need sublane multiples of 8;
-* per row the kernel reads the tile's first query index, DMAs the
-  coefficient window coeffs[r, :, s0:s0+W] from HBM to VMEM (W
-  static, derived from the query spacing at build time; the 8 row
-  DMAs are issued together and awaited together);
+* the coefficient rows ride the ordinary Pallas block pipeline
+  (auto double-buffered block loads, one block per row-group reused
+  across all of its pixel tiles — v1 of this kernel issued manual
+  per-tile window DMAs instead, whose per-cell latency dominated the
+  whole call);
+* per row the kernel reads the tile's first query index and takes the
+  static-width coefficient window as an in-VMEM dynamic slice (W
+  static, derived from the query spacing at build time);
 * the per-pixel interval lookup becomes a LOCAL index into the
   window, realized as a one-hot (W, TILE) matmul on the MXU — the
   canonical TPU gather trick;
 * the cubic is evaluated on the VPU and written back.
+
+Two sharing modes:
+
+* per-row coefficients (``spline_eval_index_pallas``) — each row is
+  one optimizer trial with its own template;
+* shared coefficients (``spline_eval_index_pallas_shared``) — all V
+  rows of one fiber's velocity scan share ONE template.  v1 broadcast
+  the coefficients to every row before the call, which materialized
+  (B*V, n, 4) in HBM — gigabytes for a refinement scan; here the
+  block index map points every row-group of a fiber at the same
+  (1, 4, n_pad) block, so HBM holds one copy per fiber.
 
 Coefficients are carried in a transposed, padded (R, 4, n_pad) layout
 so the window slice is lane-contiguous.
@@ -52,8 +67,8 @@ def window_size(idx0, tile=DEFAULT_TILE, margin=4):
         seg = idx0[i0:i0 + tile]
         span = max(span, float(seg[-1] - seg[0]))
     w = int(np.ceil(span)) + margin
-    # +128: the DMA start is rounded DOWN to a lane-tile multiple of
-    # 128 inside the kernel, so the window must absorb the rounding
+    # +128: the window start is rounded DOWN to a 128-lane multiple
+    # inside the kernel, so the window must absorb the rounding
     return max(128, int(np.ceil(w / 128.0)) * 128) + 128
 
 
@@ -68,26 +83,16 @@ def pack_coeffs(coeffs, window):
     return jnp.pad(ct, pad)
 
 
-def _kernel(u_ref, coeffs_hbm, out_ref, scratch, sems, *, window, nm1,
-            x0, step, log_step, expm1_step):
-    rb = pl.program_id(0)
+def _kernel(u_ref, coeffs_ref, out_ref, *, window, nm1, x0, step,
+            log_step, expm1_step, shared):
     u = u_ref[:, :]                                   # (ROWS, TILE)
     dt = u.dtype
 
     # per-row window starts: first query of each row's tile (queries
-    # are monotonic in pixel), clamped into the padded axis and
-    # rounded down to the 128-lane tiling the DMA engine requires
+    # are monotonic in pixel), rounded down to a 128-lane multiple so
+    # the dynamic window slice stays tiling-aligned
     s0 = jnp.clip(jnp.floor(u[:, 0]).astype(jnp.int32) - 1, 0, nm1 - 1)
     s0 = (s0 // 128) * 128
-
-    dmas = []
-    for j in range(ROWS):
-        start = pl.multiple_of(s0[j], 128)
-        dma = pltpu.make_async_copy(
-            coeffs_hbm.at[rb * ROWS + j, :, pl.ds(start, window)],
-            scratch.at[j], sems.at[j])
-        dma.start()
-        dmas.append(dma)
 
     idx = jnp.clip(jnp.floor(u), 0, nm1 - 1)          # (ROWS, TILE)
     frac = u - idx
@@ -111,13 +116,16 @@ def _kernel(u_ref, coeffs_hbm, out_ref, scratch, sems, *, window, nm1,
     cols = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
     vals = []
     for j in range(ROWS):
+        # static-width coefficient window: in-VMEM dynamic slice of
+        # the pipelined block (no manual DMA)
+        start = pl.multiple_of(s0[j], 128)
+        win = coeffs_ref[0 if shared else j, :, pl.ds(start, window)]
         # one-hot gather on the MXU: (4, W) x (W, TILE) -> (4, TILE)
         onehot = (cols == lidx[j][None, :]).astype(dt)
-        dmas[j].wait()
         # HIGHEST precision: the default MXU f32 path multiplies in
         # bf16 passes, corrupting the gathered coefficients (~4e-3)
         cf = jax.lax.dot_general(
-            scratch[j], onehot, (((1,), (0,)), ((), ())),
+            win, onehot, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dt)
         vals.append(cf[0] * dxl[j] * dxl[j] * dxl[j]
@@ -127,29 +135,38 @@ def _kernel(u_ref, coeffs_hbm, out_ref, scratch, sems, *, window, nm1,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'window', 'nm1', 'x0', 'step', 'log_step', 'tile', 'interpret'))
+    'window', 'nm1', 'x0', 'step', 'log_step', 'tile', 'rows_per_coeff',
+    'interpret'))
 def _eval_packed(coeffs_packed, u, *, window, nm1, x0, step, log_step,
-                 tile, interpret=False):
+                 tile, rows_per_coeff=1, interpret=False):
+    """coeffs_packed: (ncoeff, 4, n_pad); u: (rr, npix) with
+    rr = ncoeff * rows_per_coeff; consecutive groups of
+    ``rows_per_coeff`` rows share one coefficient row."""
     rr, npix = u.shape
+    n_pad = coeffs_packed.shape[-1]
+    shared = rows_per_coeff > 1
+    if shared and rows_per_coeff % ROWS:
+        raise ValueError('rows_per_coeff must be a multiple of ROWS')
     kern = functools.partial(
         _kernel, window=window, nm1=nm1, x0=x0, step=step,
         log_step=log_step,
-        expm1_step=float(np.expm1(step)) if log_step else 0.0)
+        expm1_step=float(np.expm1(step)) if log_step else 0.0,
+        shared=shared)
+    if shared:
+        cspec = pl.BlockSpec(
+            (1, 4, n_pad),
+            lambda r, t, _rpc=rows_per_coeff: (r * ROWS // _rpc, 0, 0))
+    else:
+        cspec = pl.BlockSpec((ROWS, 4, n_pad), lambda r, t: (r, 0, 0))
     return pl.pallas_call(
         kern,
         grid=(rr // ROWS, npix // tile),
         in_specs=[
-            pl.BlockSpec((ROWS, tile), lambda r, t: (r, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((ROWS, tile), lambda r, t: (r, t)),
+            cspec,
         ],
-        out_specs=pl.BlockSpec((ROWS, tile), lambda r, t: (r, t),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((ROWS, tile), lambda r, t: (r, t)),
         out_shape=jax.ShapeDtypeStruct((rr, npix), u.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((ROWS, 4, window), coeffs_packed.dtype),
-            pltpu.SemaphoreType.DMA((ROWS,)),
-        ],
         interpret=interpret,
     )(u, coeffs_packed)
 
@@ -158,7 +175,7 @@ def _eval_packed(coeffs_packed, u, *, window, nm1, x0, step, log_step,
 def _batched_eval_fn(window, nm1, x0, step, log_step, tile, interpret):
     """custom_vmap wrapper of _eval_packed: the fused likelihood vmaps
     the evaluation over the fiber axis, but Pallas cannot auto-batch
-    an ANY-memory-space operand — instead the batch axis is flattened
+    the coefficient operand — instead the batch axis is flattened
     into the kernel's row grid (rows are independent)."""
 
     @jax.custom_batching.custom_vmap
@@ -183,9 +200,41 @@ def _batched_eval_fn(window, nm1, x0, step, log_step, tile, interpret):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _shared_eval_fn(window, nm1, x0, step, log_step, tile, vpad,
+                    interpret):
+    """custom_vmap wrapper of the shared-coefficient (velocity scan)
+    mode: one coefficient row serves ``vpad`` query rows.  The fiber
+    batch axis is flattened into the row grid; HBM carries ONE
+    coefficient copy per fiber (v1 broadcast it per row)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(packed, u):
+        # packed (1, 4, n_pad) [or (B, ...)], u (vpad, npix)
+        return _eval_packed(packed, u, window=window, nm1=nm1, x0=x0,
+                            step=step, log_step=log_step, tile=tile,
+                            rows_per_coeff=vpad, interpret=interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, packed, u):
+        pb, ub = in_batched
+        if not ub:
+            u = jnp.broadcast_to(u[None], (axis_size,) + u.shape)
+        if not pb:
+            packed = jnp.broadcast_to(packed[None],
+                                      (axis_size,) + packed.shape)
+        b = u.shape[0]
+        out = run(packed.reshape((b * packed.shape[1],)
+                                 + packed.shape[2:]),
+                  u.reshape((b * u.shape[1], u.shape[2])))
+        return out.reshape(u.shape), True
+
+    return run
+
+
 def spline_eval_index_pallas(geom, coeffs, u, window, tile=DEFAULT_TILE,
                              interpret=False):
-    """Batched Doppler spline evaluation via the windowed-DMA kernel.
+    """Batched Doppler spline evaluation via the windowed kernel.
 
     geom : ops.spline.SplineGeometry
     coeffs : (R, n-1, 4) per-row spline coefficients
@@ -197,9 +246,7 @@ def spline_eval_index_pallas(geom, coeffs, u, window, tile=DEFAULT_TILE,
     """
     rr, npix = u.shape
     nm1 = coeffs.shape[-2]
-    if geom.log_step and float(geom.step) > 0.01:
-        raise ValueError('pallas spline kernel assumes a fine log '
-                         'grid (step < 0.01); got %g' % geom.step)
+    _check_geom(geom)
     packed = pack_coeffs(coeffs, window)
     rpad = (-rr) % ROWS
     if rpad:
@@ -220,3 +267,41 @@ def spline_eval_index_pallas(geom, coeffs, u, window, tile=DEFAULT_TILE,
     vals = vals[:rr, :npix]
     inrange = (u >= 0) & (u < nm1)
     return vals, inrange
+
+
+def spline_eval_index_pallas_shared(geom, coeffs, u, window,
+                                    tile=DEFAULT_TILE, interpret=False):
+    """Velocity-scan evaluation: ONE spline, many query rows.
+
+    coeffs : (n-1, 4) single-template coefficients
+    u : (V, npix) fractional indices (V query rows, e.g. velocities)
+
+    Rows are padded to the sublane granularity internally; under vmap
+    over a fiber axis, each fiber keeps a single coefficient copy in
+    HBM (the v1 path broadcast coefficients per row, materializing
+    (B*V, n, 4)).
+    """
+    v, npix = u.shape
+    nm1 = coeffs.shape[-2]
+    _check_geom(geom)
+    vpad_n = (-v) % ROWS
+    u_in = u if not vpad_n else jnp.concatenate(
+        [u, jnp.broadcast_to(u[-1:], (vpad_n, npix))])
+    vpad = v + vpad_n
+    cpad = (-npix) % tile
+    if cpad:
+        u_in = jnp.pad(u_in, ((0, 0), (0, cpad)))
+    packed = pack_coeffs(coeffs[None], window)        # (1, 4, n_pad)
+    run = _shared_eval_fn(window, nm1, float(geom.x0),
+                          float(geom.step), bool(geom.log_step),
+                          tile, vpad, interpret)
+    vals = run(packed, u_in)
+    vals = vals[:v, :npix]
+    inrange = (u >= 0) & (u < nm1)
+    return vals, inrange
+
+
+def _check_geom(geom):
+    if geom.log_step and float(geom.step) > 0.01:
+        raise ValueError('pallas spline kernel assumes a fine log '
+                         'grid (step < 0.01); got %g' % geom.step)
