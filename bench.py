@@ -114,12 +114,13 @@ def main():
         # stragglers grind to maxiter without moving the optimum
         # (velocity is re-measured by the refinement stage anyway)
         x0 = np.concatenate([start_vel[:, None], start_params], axis=1)
-        nmres = bf.run_neldermead(mapper, start_vel, x0=x0, nm_chunk=64,
-                                  fatol=1e-2, maxiter=768)
+        # production NM defaults: loose stopping + the gradient polish
+        # owning the endgame (see BatchedFitter.run_neldermead)
+        nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
         t.append(time.time())
         xbest, fun = nmres['x'], nmres['fun']
         if config['second_minimizer']:
-            pol = bf.run_polish(mapper, xbest, fun0=fun)
+            pol = bf.run_polish(mapper, xbest, fun0=fun, steps=3)
             xbest, fun = pol['x'], pol['fun']
         t.append(time.time())
         vel_b, params_b, _ = mapper.unpack_host(xbest)

@@ -451,8 +451,8 @@ class BatchedFitter:
         return out
 
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
-                       fatol=1e-3, xatol=None, maxiter=2000, x0=None,
-                       nm_chunk=None):
+                       fatol=5e-2, xatol=None, maxiter=384, x0=None,
+                       nm_chunk=64):
         """Batched NM over fibers, with straggler compaction.
 
         The optimization runs as host-driven rounds of ``nm_chunk``
@@ -489,12 +489,16 @@ class BatchedFitter:
         np1 = nvec + 1
         scales = mapper.scales().astype(np.float64)
         if xatol is None:
-            # scale-normalized per-dimension tolerance: 3% of each
-            # parameter's natural scale (teff ~9 K, vel ~0.15 km/s —
-            # two orders below typical uncertainties) instead of one
-            # raw-unit scalar the teff axis can never meet without
-            # collapsing the simplex to ~0.01 K
-            xatol = tuple(scales * 0.03)
+            # scale-normalized per-dimension tolerance: 8% of each
+            # parameter's natural scale (teff ~24 K, vel ~0.4 km/s)
+            # instead of one raw-unit scalar the teff axis can never
+            # meet without collapsing the simplex to ~0.01 K.  The
+            # default is deliberately loose: the gradient polish
+            # (run_polish) and the exact velocity refinement own the
+            # endgame, so NM only needs to deliver the basin (on-chip
+            # sweep: 8% + polish reproduces the 3% optima to median
+            # dchi2 +0.002 at 2/3 the NM wall time)
+            xatol = tuple(scales * 0.08)
         chunk = int(nm_chunk or min(64, maxiter))
         mb = self.microbatch or b
         dt = self.dtype
@@ -734,7 +738,12 @@ class BatchedFitter:
         min_vel_step = float(cfg['min_vel_step'])
         vel_step0 = float(cfg['vel_step0'])
 
-        nv_win = 160  # window grids after the first full-range pass
+        # window grids after the first full-range pass: the narrow
+        # passes use step = err/5*0.8 over width 2*10*err = 20*err,
+        # i.e. <= 125 points — 128 covers it at lane granularity
+        # (the scan is HBM-bound on (B, V, npix) intermediates, so V
+        # is worth trimming)
+        nv_win = 128
 
         def step_one(arms_slice, nv_cur, state, param, vsini,
                      fast_interp=False):
@@ -810,8 +819,13 @@ class BatchedFitter:
                 out = win_step(arms, *st, params, vsinis)
                 return it + 1, out[:6]
 
-            _, state = jax.lax.while_loop(cond, body, (1, state))
-            return state[5]
+            it, state = jax.lax.while_loop(cond, body, (1, state))
+            # stats (B,5) + the iteration count broadcast as column 5
+            # (diagnostics: how many window passes the tile took)
+            return jnp.concatenate(
+                [state[5], jnp.broadcast_to(
+                    it.astype(state[5].dtype)[None, None],
+                    (state[5].shape[0], 1))], axis=1)
 
         return jax.jit(refine_prog)
 
@@ -838,9 +852,11 @@ class BatchedFitter:
 
         packed = np.asarray(self._run_mb(
             refine_fn, jnp.asarray(best_vel, dt), params_j, vs))
+        logging.debug('refine_velocities window passes per tile: %s',
+                      np.unique(packed[:, 5]).tolist())
         return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
                     best_chi=packed[:, 2], skewness=packed[:, 3],
-                    kurtosis=packed[:, 4])
+                    kurtosis=packed[:, 4], iterations=packed[:, 5])
 
     # -------------------------------------------------------------
     def best_models(self, best_vel, params, vsinis=None):

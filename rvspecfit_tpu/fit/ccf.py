@@ -10,14 +10,17 @@ of 256 templates in numpy).  Per-velocity chi-square:
     continuum mode:     chi2(v) = -2 C0(v) + C1(v)
     no-continuum mode:  chi2(v) = -C0(v)^2 / C1(v)
 
-with C0 = irfft(T_fft conj(F[spec * ivar])),
-     C1 = irfft(T2_fft conj(F[ivar])).
-Each arm's CCF is linearly interpolated onto a common velocity grid
-(precomputed gather weights) and summed across arms on device; only
-the argmin and the small best-row come back to the host.
+with C0 = corr(T_fft, F[spec * ivar]), C1 = corr(T2_fft, F[ivar]),
+where corr evaluates the circular cross-correlation DIRECTLY at the
+(fractional) lags of the common velocity grid as two MXU matmuls
+contracted over frequency (see _corr_at_lags) — band-limited-exact
+at every grid velocity, no full-length irfft, no interpolation.
+Arm contributions are summed across arms on device; only the argmin
+and the small best-row come back to the host.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 
@@ -67,29 +70,73 @@ def get_ccf_info(spec_setup, config):
     return e['fft'], e['fft2'], e['models'], e['info']
 
 
-def _cplx(ri):
-    """(2, ...) stacked real/imag floats -> complex (in-graph)."""
-    return jax.lax.complex(ri[0], ri[1])
+def _corr_at_lags(afft, bfft, ecos, esin):
+    """Circular cross-correlation irfft(a * b) evaluated at the
+    (possibly fractional) lags encoded in the DFT matrices, for a
+    whole batch: afft (2, T, F) x bfft (2, B, F) stacked real/imag ->
+    (B, T, V).
+
+    Instead of irfft over all npoints lags followed by linear
+    interpolation onto the velocity grid (the v1 design — O(B*T*N)
+    HBM traffic for N=8192 when only ~400 velocity lags are wanted),
+    the correlation is evaluated directly at the velocity-grid lags
+    as two MXU matmuls contracted over frequency.  Fractional lags
+    are exact (band-limited/sinc interpolation — strictly more
+    accurate than the v1 linear interpolation between integer lags).
+    All arithmetic is real: complex never materializes (complex
+    device buffers wedge the axon runtime).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    ar, ai = afft[0], afft[1]
+    br, bi = bfft[0], bfft[1]
+    pr = ar[None, :, :] * br[:, None, :] - ai[None, :, :] * bi[:, None, :]
+    pi = ar[None, :, :] * bi[:, None, :] + ai[None, :, :] * br[:, None, :]
+    return (jnp.dot(pr, ecos, precision=hp)
+            - jnp.dot(pi, esin, precision=hp))
 
 
 @jax.jit
-def _ccf_chisq_continuum(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
-    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
-        _cplx(ivfft_conj)
-    c0 = jnp.fft.irfft(tf * sf[None, :], axis=1)
-    c1 = jnp.fft.irfft(t2 * iv[None, :], axis=1)
-    chi = -2.0 * c0 + c1
-    return chi[:, idx[0]] * w[0][None, :] + chi[:, idx[1]] * w[1][None, :]
+def _ccf_chisq_continuum(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin):
+    c0 = _corr_at_lags(tfft, sfft_conj[:, None, :], ecos, esin)[0]
+    c1 = _corr_at_lags(t2fft, ivfft_conj[:, None, :], ecos, esin)[0]
+    return -2.0 * c0 + c1
 
 
 @jax.jit
-def _ccf_chisq_nocont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
-    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
-        _cplx(ivfft_conj)
-    c0 = jnp.fft.irfft(tf * sf[None, :], axis=1)
-    c1 = jnp.fft.irfft(t2 * iv[None, :], axis=1)
-    chi = -(c0 * c0) / c1
-    return chi[:, idx[0]] * w[0][None, :] + chi[:, idx[1]] * w[1][None, :]
+def _ccf_chisq_nocont(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin):
+    c0 = _corr_at_lags(tfft, sfft_conj[:, None, :], ecos, esin)[0]
+    c1 = _corr_at_lags(t2fft, ivfft_conj[:, None, :], ecos, esin)[0]
+    return -(c0 * c0) / c1
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_mats_cached(npoints, logl0, logl1, vel_key, dtype_str):
+    """Host-precomputed (F, V) cos/sin DFT matrices that evaluate the
+    circular cross-correlation at the fractional lags of the common
+    velocity grid (velocity v <-> lag -v/step, per the _vel_axis
+    convention; irfft normalization and Hermitian doubling folded in).
+    """
+    vel_grid = np.asarray(vel_key, np.float64)
+    step = (np.exp((logl1 - logl0) / npoints) - 1) * 3e5
+    lags = -vel_grid / step
+    k = np.arange(npoints // 2 + 1, dtype=np.float64)
+    ang = (2.0 * np.pi / npoints) * np.outer(k, lags)
+    wk = np.full(len(k), 2.0)
+    wk[0] = 1.0
+    if npoints % 2 == 0:
+        wk[-1] = 1.0
+    ecos = (wk[:, None] * np.cos(ang) / npoints).astype(dtype_str)
+    esin = (wk[:, None] * np.sin(ang) / npoints).astype(dtype_str)
+    return jnp.asarray(ecos), jnp.asarray(esin)
+
+
+def _dft_mats(ccfconf, vel_grid):
+    dtype_str = str(jnp.zeros(0).dtype)
+    return _dft_mats_cached(int(ccfconf['npoints']),
+                            float(ccfconf['logl0']),
+                            float(ccfconf['logl1']),
+                            tuple(np.asarray(vel_grid, np.float64)),
+                            dtype_str)
 
 
 def _vel_axis(ccfconf, npoints_spec, maxvel):
@@ -113,27 +160,19 @@ def _vel_axis(ccfconf, npoints_spec, maxvel):
 
 
 @jax.jit
-def _ccf_batch_cont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
+def _ccf_batch_cont(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin):
     """(2,T,F) bank x (2,B,F) exposure (stacked real/imag) ->
     (B,T,nvel) chi2 contributions."""
-    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
-        _cplx(ivfft_conj)
-    c0 = jnp.fft.irfft(tf[None, :, :] * sf[:, None, :], axis=2)
-    c1 = jnp.fft.irfft(t2[None, :, :] * iv[:, None, :], axis=2)
-    chi = -2.0 * c0 + c1
-    return (chi[:, :, idx[0]] * w[0][None, None, :]
-            + chi[:, :, idx[1]] * w[1][None, None, :])
+    c0 = _corr_at_lags(tfft, sfft_conj, ecos, esin)
+    c1 = _corr_at_lags(t2fft, ivfft_conj, ecos, esin)
+    return -2.0 * c0 + c1
 
 
 @jax.jit
-def _ccf_batch_nocont(tfft, t2fft, sfft_conj, ivfft_conj, idx, w):
-    tf, t2, sf, iv = _cplx(tfft), _cplx(t2fft), _cplx(sfft_conj), \
-        _cplx(ivfft_conj)
-    c0 = jnp.fft.irfft(tf[None, :, :] * sf[:, None, :], axis=2)
-    c1 = jnp.fft.irfft(t2[None, :, :] * iv[:, None, :], axis=2)
-    chi = -(c0 * c0) / c1
-    return (chi[:, :, idx[0]] * w[0][None, None, :]
-            + chi[:, :, idx[1]] * w[1][None, None, :])
+def _ccf_batch_nocont(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin):
+    c0 = _corr_at_lags(tfft, sfft_conj, ecos, esin)
+    c1 = _corr_at_lags(t2fft, ivfft_conj, ecos, esin)
+    return -(c0 * c0) / c1
 
 
 @jax.jit
@@ -195,16 +234,12 @@ def prepare_arm_batch(setup, lam, fluxes, especs, badmask, config,
 
     nvelgrid = 2 * int(maxvel / (config.get('vel_step0') or 2)) + 1
     vel_grid = np.linspace(-maxvel, maxvel, nvelgrid)
-    ind, sub_vels, step = _vel_axis(ccfconf, proc.shape[1], maxvel)
-    pos = np.clip(np.searchsorted(sub_vels, vel_grid) - 1, 0,
-                  len(sub_vels) - 2)
-    wr = np.clip((vel_grid - sub_vels[pos])
-                 / (sub_vels[pos + 1] - sub_vels[pos]), 0.0, 1.0)
+    step = (np.exp((ccfconf['logl1'] - ccfconf['logl0'])
+                   / ccfconf['npoints']) - 1) * 3e5
+    ecos, esin = _dft_mats(ccfconf, vel_grid)
     return dict(setup=setup, info=info, models=models, velstep=step,
                 tfft=tfft, t2fft=t2fft, sfft=sfft, ivfft=ivfft, sse=sse,
-                vel_grid=vel_grid,
-                idx=(jnp.asarray(ind[pos]), jnp.asarray(ind[pos + 1])),
-                w=(jnp.asarray(1 - wr), jnp.asarray(wr)),
+                vel_grid=vel_grid, ecos=ecos, esin=esin,
                 continuum=bool(ccfconf['continuum']))
 
 
@@ -268,7 +303,7 @@ def fit_batch(arm_batches, config, banks=None, microbatch=64):
                 [c.real, c.imag]).astype(fdtype))
             fun = _ccf_batch_cont if p['continuum'] else _ccf_batch_nocont
             cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),
-                      pack(ivfft_c), p['idx'], p['w'])
+                      pack(ivfft_c), p['ecos'], p['esin'])
             contributions = cur if contributions is None else \
                 contributions + cur
         tid, bvel, bchi, _ = _ccf_reduce(contributions, vel_grid_d)
@@ -327,18 +362,9 @@ def fit(specdata, config):
 
         sfft = np.fft.rfft(proc_spec * proc_ivar)
         ivfft = np.fft.rfft(proc_ivar)
-        ind, sub_vels, step = _vel_axis(ccfconf, len(proc_spec), maxvel)
-        velstep[setup] = step
-
-        # linear interpolation of the per-arm CCF onto the common
-        # velocity grid as two gathers + weights (precomputed host)
-        pos = np.clip(np.searchsorted(sub_vels, vel_grid) - 1, 0,
-                      len(sub_vels) - 2)
-        wr = (vel_grid - sub_vels[pos]) / (sub_vels[pos + 1]
-                                           - sub_vels[pos])
-        wr = np.clip(wr, 0.0, 1.0)
-        idx = (jnp.asarray(ind[pos]), jnp.asarray(ind[pos + 1]))
-        w = (jnp.asarray(1 - wr), jnp.asarray(wr))
+        velstep[setup] = (np.exp((ccfconf['logl1'] - ccfconf['logl0'])
+                                 / ccfconf['npoints']) - 1) * 3e5
+        ecos, esin = _dft_mats(ccfconf, vel_grid)
 
         fdtype = np.dtype(str(tfft.dtype))
         fun = _ccf_chisq_continuum if ccfconf['continuum'] else \
@@ -346,7 +372,7 @@ def fit(specdata, config):
         pack = lambda c: jnp.asarray(np.stack(
             [np.asarray(c).real, np.asarray(c).imag]).astype(fdtype))
         cur = fun(tfft, t2fft, pack(sfft.conj()), pack(ivfft.conj()),
-                  idx, w)
+                  ecos, esin)
         contributions = cur if contributions is None else \
             contributions + cur
 

@@ -203,10 +203,10 @@ def chisq_trials_core(arms, templates, vels, params, vsinis, *, badchi,
             val = jax.vmap(arm.band.matvec)(val)
         t_over_e = val * arm.espec_inv[None, :] if arm.espec_inv.ndim == 1 \
             else val * arm.espec_inv
-        chi = jax.vmap(
-            lambda t: chisq_mod.chisq_continuum_marg(
-                arm.dvec, t, arm.polys, arm.log_espec_sum,
-                solve_dtype=solve_dtype))(t_over_e)
+        chi = chisq_mod.chisq_continuum_marg_batch(
+            arm.dvec, t_over_e, arm.polys,
+            chisq_mod.basis_products(arm.polys), arm.log_espec_sum,
+            solve_dtype=solve_dtype)
 
         penalty = outside * badchi if outside_penalty else 0.0
         good = jnp.isfinite(chi)
@@ -249,10 +249,10 @@ def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
         if arm.band is not None:
             val = jax.vmap(arm.band.matvec)(val)
         t_over_e = val * arm.espec_inv[None, :]
-        chi = jax.vmap(
-            lambda t: chisq_mod.chisq_continuum_marg(
-                arm.dvec, t, arm.polys, arm.log_espec_sum,
-                solve_dtype=solve_dtype))(t_over_e)
+        chi = chisq_mod.chisq_continuum_marg_batch(
+            arm.dvec, t_over_e, arm.polys,
+            chisq_mod.basis_products(arm.polys), arm.log_espec_sum,
+            solve_dtype=solve_dtype)
 
         penalty = outside * badchi if outside_penalty else 0.0
         good = jnp.isfinite(chi)

@@ -35,21 +35,21 @@ def chol_solve_logdet(m, v, ridge_rel=1e-10):
 
     Includes one in-graph ridge retry for numerically non-PD inputs
     (the analogue of the reference's Cholesky->SVD fallback).
+    Batched: m (..., n, n), v (..., n) — the ridge retry is applied
+    per instance.
     """
     n = m.shape[-1]
     eye = jnp.eye(n, dtype=m.dtype)
 
-    def factor(mat):
-        chol = jnp.linalg.cholesky(mat)
-        ok = jnp.isfinite(chol).all()
-        return chol, ok
-
-    chol1, ok1 = factor(m)
-    scale = jnp.trace(m) / n
-    chol2, _ = factor(m + (ridge_rel * scale) * eye)
-    chol = jnp.where(ok1, chol1, chol2)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
-    a = jax.scipy.linalg.cho_solve((chol, True), v)
+    chol1 = jnp.linalg.cholesky(m)
+    ok1 = jnp.isfinite(chol1).all(axis=(-2, -1))
+    scale = jnp.trace(m, axis1=-2, axis2=-1) / n
+    chol2 = jnp.linalg.cholesky(
+        m + (ridge_rel * scale)[..., None, None] * eye)
+    chol = jnp.where(ok1[..., None, None], chol1, chol2)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    a = jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
     return a, logdet
 
 

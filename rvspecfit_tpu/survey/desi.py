@@ -464,7 +464,8 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
               setups=('b', 'r', 'z'), minsn=-1e9, fit_targetid=None,
               expid_range=None, ccf_init=True, use_resolution_matrix=False,
               zbest_path=None, zbest_select=False, objtype_mask=None,
-              npoly=10, doplot=False, templates=None, fitarm=None):
+              npoly=10, doplot=False, templates=None, fitarm=None,
+              cmdline=None):
     """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
 
     Returns the number of fitted objects (0 when nothing selected).
@@ -477,6 +478,7 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     fp = fitsio.read(fname)
     if not valid_file(fp, setups):
         raise RuntimeError(f'{fname}: invalid file')
+    spectrum_header = fp[0].header
     fibermap = fp['FIBERMAP'].data
     scores = fp['SCORES'].data if 'SCORES' in fp else None
     exp_fibermap = fp['EXP_FIBERMAP'].data if 'EXP_FIBERMAP' in fp \
@@ -493,8 +495,12 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     nsel = int(subset.sum())
     logging.info('%s: selected %d/%d fibers', fname, nsel, len(subset))
     if nsel == 0:
-        _write_empty(tab_ofname)
-        _write_empty(mod_ofname)
+        _write_empty(tab_ofname, mod_ofname, setups, waves, fibermap,
+                     scores=scores, exp_fibermap=exp_fibermap,
+                     config=config, cmdline=cmdline,
+                     templates=templates,
+                     spectrum_header=spectrum_header,
+                     zbest_path=zbest_path)
         return 0
 
     if templates is None:
@@ -554,24 +560,40 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
                       1.0 / np.sqrt(a.ivar[0])) for a in arms],
             config=config, options=options, templates=templates)
         start_params[:] = [guess[p] for p in parnames]
+        any_vsini = guess.get('vsini') is not None
+        if any_vsini:
+            start_vsini[:] = guess['vsini']
     vrad_ccf = start_vel.copy()
 
     # ---- batched ML fit ----
-    fit_vsini = True  # DESI always models rotation (vsini >= 0)
+    # rotation is modeled only when the CCF bank's best templates (or
+    # the brute-force first guess) carried vsini — the reference
+    # conditions fit_vsini on the CCF result rather than always
+    # paying the broadening convolution (desi_fit.py:293-299)
+    fit_vsini = bool(any_vsini)
     bf = BatchedFitter(arms, templates, config, options=options,
                        use_vsini=fit_vsini)
     paramDict0 = dict(zip(parnames, start_params.mean(axis=0)))
-    paramDict0['vsini'] = 0.01
+    if fit_vsini:
+        paramDict0['vsini'] = 0.01
     mapper = vel_fit.ParamMapper(
         parnames, paramDict0, [],
         vel_fit.VSiniMapper(config['max_vsini'],
-                            config.get('min_vsini') or 0.0), True)
+                            config.get('min_vsini') or 0.0)
+        if fit_vsini else None, fit_vsini)
     x0 = np.zeros((nf, mapper.nvec))
     x0[:, 0] = start_vel
-    x0[:, 1] = np.clip(start_vsini, 0, config['max_vsini'])
-    x0[:, 2:] = start_params
+    if fit_vsini:
+        x0[:, 1] = np.clip(start_vsini, 0, config['max_vsini'])
+    x0[:, 1 + int(fit_vsini):] = start_params
     nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
-    vel_b, params_b, vsini_b = mapper.unpack_host(nmres['x'])
+    xbest, fun_best = nmres['x'], nmres['fun']
+    if config.get('second_minimizer'):
+        # batched gradient polish (reference default-on BFGS stage,
+        # desi_fit.py -> vel_fit.py:653-660)
+        pol = bf.run_polish(mapper, xbest, fun0=fun_best)
+        xbest, fun_best = pol['x'], pol['fun']
+    vel_b, params_b, vsini_b = mapper.unpack_host(xbest)
     ref = bf.refine_velocities(vel_b, params_b, vsinis=vsini_b)
     errs, covars, bad_hess = bf.hessian_errors(
         ref['best_vel'], params_b, vsinis=vsini_b, parnames=parnames)
@@ -628,7 +650,10 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
 
     _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
                    fibermap, idx, setups, config, fname,
-                   scores=scores, exp_fibermap=exp_fibermap)
+                   scores=scores, exp_fibermap=exp_fibermap,
+                   cmdline=cmdline, templates=templates,
+                   spectrum_header=spectrum_header,
+                   zbest_path=zbest_path)
     logging.info('%s: fitted %d fibers in %.1f s', fname, nf,
                  time.time() - t0)
     return nf
@@ -653,26 +678,110 @@ def make_plot(lam_list, flux_list, model_list, title, fig_fname):
         plt.close()
 
 
-def _prim_header(config=None, cmdline=None):
+# packages whose versions are stamped into output headers
+# (reference: desi_fit.py:45-48 DEPEND_PACKAGES + :77-90)
+DEPEND_PACKAGES = ['numpy', 'scipy', 'jax', 'h5py', 'yaml', 'matplotlib']
+
+# input header keywords copied into the output primary header
+# (reference: desi_fit.py:141-149)
+COPY_HEADER_KEYS = ['SPGRP', 'SPGRPVAL', 'TILEID', 'SPECTRO', 'PETAL',
+                    'NIGHT', 'EXPID', 'HPXPIXEL', 'HPXNSIDE', 'HPXNEST']
+
+
+def _dep_versions():
+    ret = {'python': sys.version.split(' ')[0],
+           'rvspecfit_tpu': __version__}
+    for pkg in DEPEND_PACKAGES:
+        try:
+            mod = __import__(pkg)
+            ret[pkg] = str(getattr(mod, '__version__', ''))
+        except ImportError:
+            pass
+    return ret
+
+
+def _prim_header(config=None, cmdline=None, templates=None,
+                 spectrum_header=None, zbest_path=None):
+    """Primary-header provenance cards: dependency versions, template
+    library revisions, copied input keywords
+    (reference: desi_fit.py:119-156)."""
     cards = [('RVS_VER', __version__, 'rvspecfit_tpu version'),
              ('RVS_DATE', time.strftime('%Y-%m-%dT%H:%M:%S'),
               'processing time')]
+    for i, (k, v) in enumerate(_dep_versions().items()):
+        cards.append(('DEPNAM%02d' % i, k, 'Software'))
+        cards.append(('DEPVER%02d' % i, v, 'Version'))
+    if templates:
+        for i, (setup, tm) in enumerate(sorted(templates.items())):
+            extra = getattr(tm, 'extra', None) or {}
+            cards.append(('TMPLCON%d' % i, setup, 'Spec arm config name'))
+            cards.append(('TMPLREV%d' % i, extra.get('revision', ''),
+                          'Spec template revision'))
+            cards.append(('TMPLSVR%d' % i,
+                          extra.get('creation_soft_version', ''),
+                          'Spec template soft version'))
     if config is not None:
         cards.append(('RVS_CONF', str(config.get('config_file_path', '')),
                       'config path'))
     if cmdline:
         cards.append(('RVS_CMD', cmdline[:60], 'command line'))
+    if zbest_path is not None:
+        cards.append(('RR_FILE', str(zbest_path),
+                      'Redrock redshift file'))
+    if spectrum_header is not None:
+        for key in COPY_HEADER_KEYS:
+            if key in spectrum_header:
+                cards.append((key, spectrum_header[key], ''))
     return cards
 
 
-def _write_empty(fname):
-    fitsio.write(fname, [dict(kind='image', data=None,
-                              header=_prim_header())])
+def _write_empty(tab_ofname, mod_ofname, setups, waves, fibermap,
+                 scores=None, exp_fibermap=None, config=None,
+                 cmdline=None, templates=None, spectrum_header=None,
+                 zbest_path=None):
+    """Zero-selection outputs with the FULL column structure, so
+    downstream concatenation tools see a uniform schema
+    (reference: desi_fit.py:1106-1134)."""
+    col_desc = get_column_desc([s.upper() for s in setups])
+    cols, units, comments = [], {}, {}
+    for k, (dtype, descr, unit) in col_desc.items():
+        arr = np.zeros(0, dtype=np.dtype('U8') if dtype is str else dtype)
+        cols.append((k, arr))
+        comments[k] = descr
+        if unit:
+            units[k] = unit
+    idx0 = np.zeros(0, dtype=int)
+    fm_cols = [(k, np.asarray(v)[idx0]) for k, v in fibermap.items()]
+    hdr = _prim_header(config, cmdline, templates, spectrum_header,
+                       zbest_path)
+    hdus = [dict(kind='image', data=None, header=hdr),
+            dict(kind='table', data=cols, name='RVTAB', units=units,
+                 comments=comments),
+            dict(kind='table', data=fm_cols, name='FIBERMAP')]
+    if scores is not None:
+        hdus.append(dict(kind='table', name='SCORES',
+                         data=[(k, np.asarray(v)[idx0])
+                               for k, v in scores.items()]))
+    if exp_fibermap is not None:
+        hdus.append(dict(kind='table', name='EXP_FIBERMAP',
+                         data=[(k, np.asarray(v)[idx0])
+                               for k, v in exp_fibermap.items()]))
+    fitsio.write(tab_ofname, hdus)
+
+    mhdus = [dict(kind='image', data=None, header=hdr)]
+    for s in setups:
+        mhdus.append(dict(kind='image', data=waves[s].astype(np.float64),
+                          name=f'{s.upper()}_WAVELENGTH'))
+        mhdus.append(dict(kind='image', data=None,
+                          name=f'{s.upper()}_MODEL'))
+    fitsio.write(mod_ofname, mhdus)
 
 
 def _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
                    fibermap, idx, setups, config, src_fname,
-                   scores=None, exp_fibermap=None):
+                   scores=None, exp_fibermap=None, cmdline=None,
+                   templates=None, spectrum_header=None,
+                   zbest_path=None):
     # RVTAB with the reference's column dtypes / descriptions / units
     # (reference: desi_fit.py:910-959)
     col_desc = get_column_desc([s.upper() for s in setups])
@@ -701,8 +810,9 @@ def _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
     for k in fm_keep:
         if k in fibermap:
             fm_cols.append((k, np.asarray(fibermap[k])[idx]))
-    hdus = [dict(kind='image', data=None,
-                 header=_prim_header(config)),
+    prim_hdr = _prim_header(config, cmdline, templates, spectrum_header,
+                            zbest_path)
+    hdus = [dict(kind='image', data=None, header=prim_hdr),
             dict(kind='table', data=cols, name='RVTAB',
                  units=units, comments=comments),
             dict(kind='table', data=fm_cols, name='FIBERMAP')]
@@ -720,7 +830,7 @@ def _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
     fitsio.write(tab_ofname, hdus)
 
     # RVMOD: best-fit model vectors per arm
-    mhdus = [dict(kind='image', data=None, header=_prim_header(config))]
+    mhdus = [dict(kind='image', data=None, header=prim_hdr)]
     for s, a in zip(setups, arms):
         mhdus.append(dict(kind='image', data=waves[s].astype(np.float64),
                           name=f'{s.upper()}_WAVELENGTH'))
@@ -808,6 +918,7 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
 def main(args=None):
     if args is None:
         args = sys.argv[1:]
+    cmdline = ' '.join(['rvst_desi_fit'] + list(args))
     parser = argparse.ArgumentParser(description='Fit DESI spectra')
     parser.add_argument('input_files', nargs='*', default=[])
     parser.add_argument('--input_file_from', type=str, default=None)
@@ -848,14 +959,34 @@ def main(args=None):
     parser.add_argument('--log_level', type=str, default='INFO')
     parser.add_argument('--rank', type=int, default=None)
     parser.add_argument('--world', type=int, default=None)
+    parser.add_argument('--coordinator', type=str, default=None,
+                        help='host:port of the jax.distributed '
+                        'coordinator; enables the multi-host world '
+                        '(rank/world default to the world indices)')
     args = parser.parse_args(args)
 
-    # per-rank log file names for multi-host runs
-    # (reference: desi_fit.py:1753-1760)
+    # opt-in multi-host world (reference analogue: the MPI task farm,
+    # utils.py:180-318); rank/world drive the static file sharding
+    # and the per-rank %d filename substitutions below
+    if args.coordinator or os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        from rvspecfit_tpu.parallel import distributed
+        pid, nproc = distributed.init_distributed(
+            args.coordinator, args.world, args.rank)
+        if args.rank is None:
+            args.rank = pid
+        if args.world is None:
+            args.world = nproc
+
+    # per-rank log/status file names for multi-host runs
+    # (reference: desi_fit.py:1753-1770)
     log_fname = args.log
     if log_fname is not None and args.rank is not None \
             and '%' in log_fname:
         log_fname = log_fname % args.rank
+    status_fname = args.process_status_file
+    if status_fname is not None and args.rank is not None \
+            and '%' in status_fname:
+        status_fname = status_fname % args.rank
     logging.basicConfig(
         filename=log_fname, level=getattr(logging, args.log_level))
 
@@ -896,7 +1027,8 @@ def main(args=None):
         proc_many(files, args.output_dir, config=config,
                   options={'npoly': args.npoly},
                   skipexisting=args.skipexisting,
-                  status_fname=args.process_status_file,
+                  status_fname=status_fname,
+                  cmdline=cmdline,
                   setups=tuple(args.setups.split(',')),
                   minsn=args.minsn, fit_targetid=fit_targetid,
                   expid_range=expid_range,
@@ -909,7 +1041,10 @@ def main(args=None):
                           if args.fitarm else None),
                   throw_exceptions=args.throw_exceptions)
     finally:
-        pass
+        if args.coordinator or os.environ.get('JAX_COORDINATOR_ADDRESS'):
+            from rvspecfit_tpu.parallel import distributed
+            distributed.barrier('rvst_desi_fit_done')
+            distributed.shutdown()
 
 
 if __name__ == '__main__':

@@ -30,13 +30,16 @@ C_KMS = 299792.458
 def run_accuracy(ntrials=1000, snr=300.0, npix=400, resol=1000.0,
                  seed=1, templates=None, config=None, microbatch=None,
                  fit_start=(6000.0, 3.0, -1.0, 0.5), npoly=10,
-                 nm_chunk=None, fatol=1e-3, maxiter=2000):
+                 nm_chunk=64, fatol=None, maxiter=None):
     """Fit ``ntrials`` random synthetic spectra; return pull statistics.
+
+    Runs the production pipeline (NM with the loose production
+    defaults + the gradient polish + exact velocity refinement).
     """
     if config is None:
         config = freeze(dict(min_vel=-1000, max_vel=1000, vel_step0=5,
                              max_vsini=500, min_vsini=1e-2,
-                             min_vel_step=0.2, second_minimizer=False,
+                             min_vel_step=0.2, second_minimizer=True,
                              template_lib=''))
     if templates is None:
         tm = simulation.build_template_model(6, 6, 6, 4, npix=4096)
@@ -72,10 +75,17 @@ def run_accuracy(ntrials=1000, snr=300.0, npix=400, resol=1000.0,
         np.tile(fit_start, (ntrials, 1)))
     mapper = vel_fit.ParamMapper(
         tm.parnames, dict(zip(tm.parnames, fit_start)), [], None, False)
-    nmres = bf.run_neldermead(mapper, scan['best_vel'],
-                              nm_chunk=nm_chunk, fatol=fatol,
-                              maxiter=maxiter)
-    vel_b, params_b, _ = mapper.unpack_host(nmres['x'])
+    nm_kwargs = dict(nm_chunk=nm_chunk)
+    if fatol is not None:
+        nm_kwargs['fatol'] = fatol
+    if maxiter is not None:
+        nm_kwargs['maxiter'] = maxiter
+    nmres = bf.run_neldermead(mapper, scan['best_vel'], **nm_kwargs)
+    xbest, fun = nmres['x'], nmres['fun']
+    if config.get('second_minimizer'):
+        pol = bf.run_polish(mapper, xbest, fun0=fun, steps=3)
+        xbest = pol['x']
+    vel_b, params_b, _ = mapper.unpack_host(xbest)
     ref = bf.refine_velocities(vel_b, params_b)
 
     dv = ref['best_vel'] - v0
@@ -101,10 +111,10 @@ def main(args=None):
     parser.add_argument('--npix', type=int, default=400)
     parser.add_argument('--seed', type=int, default=1)
     parser.add_argument('--microbatch', type=int, default=None)
-    parser.add_argument('--nm_chunk', type=int, default=None,
+    parser.add_argument('--nm_chunk', type=int, default=64,
                         help='chunked NM for remote TPU backends')
-    parser.add_argument('--fatol', type=float, default=1e-3)
-    parser.add_argument('--maxiter', type=int, default=2000)
+    parser.add_argument('--fatol', type=float, default=None)
+    parser.add_argument('--maxiter', type=int, default=None)
     args = parser.parse_args(args)
     logging.basicConfig(level=logging.INFO)
     stats, _ = run_accuracy(ntrials=args.ntrials, snr=args.snr,

@@ -50,18 +50,29 @@ def test_ccf_matches_numpy_chain(pipeline_library):
     ivf = np.fft.rfft(proc_ivar)
 
     res = ccf_mod.fit(sd, config)
-    # recompute chi2 for the winning template directly (the bank is
-    # stored as stacked real/imag floats)
+    # recompute chi2 directly in numpy: the correlation evaluated at
+    # the (fractional) lags of the velocity grid by explicit
+    # trigonometric sums over frequency (independent of the device
+    # matmul kernel and of jnp)
     tf = np.asarray(tfft[0]) + 1j * np.asarray(tfft[1])
     t2 = np.asarray(t2fft[0]) + 1j * np.asarray(t2fft[1])
-    c0 = np.fft.irfft(tf * sf.conj()[None, :], axis=1)
-    c1 = np.fft.irfft(t2 * ivf.conj()[None, :], axis=1)
-    chi_np = -2 * c0 + c1
-    ind, sub_vels, step = ccf_mod._vel_axis(ccfconf, len(proc_spec), 1000)
-    chi_sub = chi_np[:, ind]
-    interp = np.array([np.interp(res['vel_grid'], sub_vels, row)
-                       for row in chi_sub])
-    total = interp + (proc_spec**2 * proc_ivar).sum()
+    npoints = int(ccfconf['npoints'])
+    nf = npoints // 2 + 1
+    step = (np.exp((ccfconf['logl1'] - ccfconf['logl0']) / npoints)
+            - 1) * 3e5
+    lags = -np.asarray(res['vel_grid']) / step
+    ang = (2.0 * np.pi / npoints) * np.outer(np.arange(nf), lags)
+    wk = np.full(nf, 2.0)
+    wk[0] = 1.0
+    if npoints % 2 == 0:
+        wk[-1] = 1.0
+    cosm = wk[:, None] * np.cos(ang) / npoints
+    sinm = wk[:, None] * np.sin(ang) / npoints
+    p0 = tf * sf.conj()[None, :]
+    p1 = t2 * ivf.conj()[None, :]
+    c0 = p0.real @ cosm - p0.imag @ sinm
+    c1 = p1.real @ cosm - p1.imag @ sinm
+    total = -2 * c0 + c1 + (proc_spec**2 * proc_ivar).sum()
     best_id = int(np.argmin(total.min(axis=1)))
     np.testing.assert_allclose(total[best_id],
                                res['best_ccf'], rtol=2e-4, atol=2e-2)
@@ -109,3 +120,30 @@ def test_ccf_feeds_process(pipeline_library):
     p0 = dict(guess['best_par'])
     res = vel_fit.process([sd], p0, config=config, options={'npoly': 10})
     assert abs(res['vel'] - v0) < max(10, 3 * res['vel_err'])
+
+
+def test_dft_lag_evaluation_matches_irfft():
+    """_corr_at_lags at INTEGER lags must equal np.fft.irfft exactly
+    (the DFT matrices fold in the irfft normalization and Hermitian
+    doubling); fractional lags are band-limited interpolation."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(3)
+    npoints = 256
+    x = rng.normal(size=(2, npoints))
+    y = rng.normal(size=npoints)
+    xf = np.fft.rfft(x, axis=1)
+    yf = np.fft.rfft(y)
+    want = np.fft.irfft(xf * np.conj(yf)[None, :], axis=1)  # (2, N)
+
+    ccfconf = dict(npoints=npoints, logl0=0.0, logl1=0.1)
+    step = (np.exp((0.1 - 0.0) / npoints) - 1) * 3e5
+    # integer lags 0..9 and their wrapped negatives
+    lags = np.array([0, 1, 2, 5, 9, -1, -4])
+    vel_grid = -lags * step
+    ecos, esin = ccf_mod._dft_mats(ccfconf, vel_grid)
+    pack = lambda c: jnp.asarray(np.stack([c.real, c.imag]))
+    got = np.asarray(ccf_mod._corr_at_lags(
+        pack(xf), pack(np.conj(yf))[:, None, :], ecos, esin))[0]
+    for j, lag in enumerate(lags):
+        np.testing.assert_allclose(got[:, j], want[:, lag % npoints],
+                                   rtol=1e-5, atol=1e-5)

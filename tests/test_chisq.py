@@ -72,3 +72,40 @@ def test_ridge_retry_on_degenerate_basis():
         jnp.asarray(spec / espec), jnp.asarray(templ / espec),
         jnp.asarray(polys), float(np.log(espec).sum()))
     assert np.isfinite(float(got))
+
+
+def test_batch_matches_single():
+    # the MXU-shaped batched kernel must reproduce the single-trial
+    # residual-form kernel exactly (same math, regrouped matmuls)
+    rng = np.random.RandomState(5)
+    spec, templ, polys, espec = _make_problem(npoly=8)
+    prod = np.asarray(chisq.basis_products(jnp.asarray(polys)))
+    assert prod.shape == (64, polys.shape[1])
+    templs = np.stack([templ * (1 + 0.1 * rng.normal(size=len(templ)))
+                       for _ in range(7)])
+    got_b, coef_b = chisq.chisq_continuum_marg_batch(
+        jnp.asarray(spec / espec), jnp.asarray(templs / espec),
+        jnp.asarray(polys), jnp.asarray(prod),
+        float(np.log(espec).sum()), with_coeffs=True)
+    for t in range(7):
+        one, coef1 = chisq.chisq_continuum_marg(
+            jnp.asarray(spec / espec), jnp.asarray(templs[t] / espec),
+            jnp.asarray(polys), float(np.log(espec).sum()),
+            with_coeffs=True)
+        assert abs(float(got_b[t]) - float(one)) < 1e-6 * abs(float(one))
+        np.testing.assert_allclose(np.asarray(coef_b[t]),
+                                   np.asarray(coef1), rtol=1e-6)
+
+
+def test_batch_float32_close_to_float64():
+    spec, templ, polys, espec = _make_problem(npoly=15)
+    ref, _ = svd_reference(spec, templ, polys, espec)
+    got32 = chisq.chisq_continuum_marg_batch(
+        jnp.asarray(spec / espec, dtype=jnp.float32),
+        jnp.asarray((templ / espec)[None], dtype=jnp.float32),
+        jnp.asarray(polys, dtype=jnp.float32),
+        jnp.asarray(chisq.basis_products(
+            jnp.asarray(polys, dtype=jnp.float32))),
+        np.float32(np.log(espec).sum()),
+        solve_dtype=jnp.float64)
+    assert abs(float(got32[0]) - ref) / abs(ref) < 1e-4

@@ -357,6 +357,109 @@ def test_desi_empty_selection(coadd_file, desi_library, tmp_path):
     desi.main([fname, '--output_dir', outdir, '--templ_lib', desi_library,
                '--minsn', '1e9', '--throw_exceptions'])
     tab_path = os.path.join(outdir, 'rvtab-test.fits')
+    mod_path = os.path.join(outdir, 'rvmod-test.fits')
     assert os.path.exists(tab_path)
+    # empty-selection files carry the FULL schema so downstream
+    # concatenation sees uniform columns (reference desi_fit.py:1106-1134)
     tab = fitsio.read(tab_path)
-    assert len(tab) == 1  # empty file: primary HDU only
+    rv = tab['RVTAB'].data
+    for col in ('VRAD', 'VRAD_ERR', 'TEFF', 'LOGG', 'FEH', 'ALPHAFE',
+                'RVS_WARN', 'TARGETID', 'SN_B'):
+        assert col in rv, col
+        assert len(rv[col]) == 0
+    assert 'TARGETID' in tab['FIBERMAP'].data
+    assert len(tab['FIBERMAP'].data['TARGETID']) == 0
+    mod = fitsio.read(mod_path)
+    for s in DESI_ARMS:
+        assert f'{s.upper()}_WAVELENGTH' in mod
+        assert f'{s.upper()}_MODEL' in mod
+        assert len(mod[f'{s.upper()}_WAVELENGTH'].data) > 0
+
+
+def test_desi_header_provenance(coadd_file, desi_library, tmp_path):
+    """Output primary headers stamp dependency versions, template
+    revisions, and copied input keys (reference desi_fit.py:77-156)."""
+    fname, _ = coadd_file
+    outdir = str(tmp_path / 'outprov')
+    desi.main([fname, '--output_dir', outdir, '--templ_lib', desi_library,
+               '--throw_exceptions'])
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
+    hdr = tab[0].header
+    assert hdr.get('RVS_VER')
+    assert hdr.get('RVS_CMD')
+    # dependency version cards
+    deps = {str(hdr[f'DEPNAM{i:02d}']): str(hdr[f'DEPVER{i:02d}'])
+            for i in range(20) if f'DEPNAM{i:02d}' in hdr}
+    assert 'numpy' in deps and deps['numpy']
+    assert 'python' in deps
+    assert 'jax' in deps
+    # template library revision cards
+    assert 'TMPLCON0' in hdr
+    assert 'TMPLREV0' in hdr
+
+
+def test_desi_status_file_rank_substitution(coadd_file, desi_library,
+                                            tmp_path):
+    """--process_status_file %d gets the rank substituted, so ranks do
+    not clobber one file (reference desi_fit.py:1765-1770)."""
+    fname, _ = coadd_file
+    outdir = str(tmp_path / 'outrank')
+    status = str(tmp_path / 'status_%d.txt')
+    desi.main([fname, '--output_dir', outdir, '--templ_lib', desi_library,
+               '--process_status_file', status, '--rank', '3',
+               '--world', '4', '--minsn', '1e9', '--throw_exceptions'])
+    assert os.path.exists(str(tmp_path / 'status_3.txt'))
+
+
+def test_desi_two_process_multihost(coadd_file, desi_library, tmp_path):
+    """Two rvst_desi_fit processes over a jax.distributed world split
+    a 2-file list by rank; both RVTABs verify and per-rank status
+    files stay separate (the TPU-native replacement for the
+    reference's MPI task farm, utils.py:180-318)."""
+    import shutil
+    import socket
+    import subprocess
+    import sys as _sys
+
+    fname, _ = coadd_file
+    # two input files: the original and a copy under a new tile name
+    f2 = str(tmp_path / 'coadd-test2.fits')
+    shutil.copy(fname, f2)
+    flist = str(tmp_path / 'files.txt')
+    with open(flist, 'w') as fp:
+        fp.write(fname + '\n' + f2 + '\n')
+    outdir = str(tmp_path / 'outmh')
+    status = str(tmp_path / 'mh_status_%d.txt')
+
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ, JAX_PLATFORMS='cpu',
+                   JAX_ENABLE_X64='1')
+        procs.append(subprocess.Popen(
+            [_sys.executable, '-m', 'rvspecfit_tpu.survey.desi',
+             '--input_file_from', flist, '--output_dir', outdir,
+             '--templ_lib', desi_library,
+             '--coordinator', f'localhost:{port}',
+             '--rank', str(rank), '--world', '2',
+             '--process_status_file', status,
+             '--throw_exceptions'],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
+    for p in procs:
+        assert p.wait(timeout=1200) == 0
+
+    # both output tables exist and carry fitted rows
+    for base in ('test', 'test2'):
+        tab = fitsio.read(os.path.join(outdir, f'rvtab-{base}.fits'))
+        rv = tab['RVTAB'].data
+        assert len(rv['VRAD']) == NFIB - 1
+        assert np.isfinite(rv['VRAD']).all()
+    # per-rank status files: one line each, no clobbering
+    for rank in range(2):
+        with open(str(tmp_path / f'mh_status_{rank}.txt')) as fp:
+            lines = fp.read().strip().splitlines()
+        assert len(lines) == 1 and 'SUCCESS' in lines[0]
