@@ -205,21 +205,28 @@ class BatchedFitter:
                 self._half_widths[s] = vsini_mod.kernel_half_width(
                     float(config['max_vsini']), tm.log_step)
 
-        def chisq_one_fiber(arms_slice, vels, params, vsinis):
+        # NOTE: every jitted program below takes ``templates`` as a
+        # TRACED argument (vmap in_axes None), never as a closure
+        # constant: jit embeds closed-over arrays as literals in the
+        # executable, and the template grids are tens of MB — on the
+        # remote-load TPU backend each such executable then costs
+        # ~10+ s to ship at warm-up (measured: 40-115 MB per cached
+        # program before this change)
+        def chisq_one_fiber(arms_slice, templates, vels, params, vsinis):
             return chisq_trials_core(
-                arms_slice, self.templates, vels, params, vsinis,
+                arms_slice, templates, vels, params, vsinis,
                 badchi=self.badchi, use_vsini=self.use_vsini,
                 half_widths=self._half_widths, outside_penalty=True,
                 solve_dtype=self.solve_dtype)
 
         # vmap over the fiber axis: per-fiber arm data, per-fiber trials
         self._chisq_fibers = jax.jit(jax.vmap(
-            chisq_one_fiber, in_axes=(self.arm_axes, 0, 0, 0)))
+            chisq_one_fiber, in_axes=(self.arm_axes, None, 0, 0, 0)))
 
-        def scan_one_fiber(arms_slice, vels, param, vsini,
+        def scan_one_fiber(arms_slice, templates, vels, param, vsini,
                            fast_interp=False):
             return likelihood_scan_core(
-                arms_slice, self.templates, vels, param, vsini,
+                arms_slice, templates, vels, param, vsini,
                 badchi=self.badchi, use_vsini=self.use_vsini,
                 half_widths=self._half_widths, outside_penalty=True,
                 solve_dtype=self.solve_dtype, fast_interp=fast_interp)
@@ -227,17 +234,19 @@ class BatchedFitter:
         # fast velocity-scan path: template stage once per fiber
         self._scan_one_fiber = scan_one_fiber
         self._scan_fibers = jax.jit(jax.vmap(
-            scan_one_fiber, in_axes=(self.arm_axes, 0, 0, 0)))
+            scan_one_fiber, in_axes=(self.arm_axes, None, 0, 0, 0)))
 
-        def scan_stats_one(arms_slice, vels, mask, param, vsini):
-            chi = scan_one_fiber(arms_slice, vels, param, vsini)
+        def scan_stats_one(arms_slice, templates, vels, mask, param,
+                           vsini):
+            chi = scan_one_fiber(arms_slice, templates, vels, param,
+                                 vsini)
             return _device_scan_stats(vels, mask, chi)
 
         # scan + statistics fused: ONE program, (B, 5) result — on
         # remote TPU tunnels every host<->device sync costs seconds,
         # so the scan must return only the distilled per-fiber stats
         self._scan_stats_fibers = jax.jit(jax.vmap(
-            scan_stats_one, in_axes=(self.arm_axes, 0, 0, 0, 0)))
+            scan_stats_one, in_axes=(self.arm_axes, None, 0, 0, 0, 0)))
 
         self._refine_fibers = None  # built lazily (needs static grid)
 
@@ -300,18 +309,21 @@ class BatchedFitter:
     def _chisq_fibers_ad(self):
         """Batched chisq vmapped over the AD (no-Pallas) arm axes."""
         if not hasattr(self, '_chisq_fibers_ad_fn'):
-            def chisq_one_fiber(arms_slice, vels, params, vsinis):
+            def chisq_one_fiber(arms_slice, templates, vels, params,
+                                vsinis):
                 return chisq_trials_core(
-                    arms_slice, self.templates, vels, params, vsinis,
+                    arms_slice, templates, vels, params, vsinis,
                     badchi=self.badchi, use_vsini=self.use_vsini,
                     half_widths=self._half_widths, outside_penalty=True,
                     solve_dtype=self.solve_dtype)
             self._chisq_fibers_ad_fn = jax.vmap(
-                chisq_one_fiber, in_axes=(self.arm_axes_ad, 0, 0, 0))
+                chisq_one_fiber,
+                in_axes=(self.arm_axes_ad, None, 0, 0, 0))
         return self._chisq_fibers_ad_fn
 
     def _run_mb(self, fn, *per_fiber_args, arms=None):
-        """Run fn(arms, *args) over fiber tiles; concatenate outputs.
+        """Run fn(arms, templates, *args) over fiber tiles and
+        concatenate outputs.
 
         With no microbatch (or a single full tile) this is a direct
         call.  Outputs may be arbitrary pytrees of arrays whose
@@ -320,12 +332,13 @@ class BatchedFitter:
         base = self.arms if arms is None else arms
         ranges, mb = self._mb_ranges()
         if len(ranges) == 1 and ranges[0][1] - ranges[0][0] == mb:
-            return fn(base, *per_fiber_args)
+            return fn(base, self.templates, *per_fiber_args)
         parts = []
         for lo, hi in ranges:
             args = [self._pad_slice(jnp.asarray(a), lo, hi, mb)
                     for a in per_fiber_args]
-            out = fn(self._slice_arms(lo, hi, mb, arms=base), *args)
+            out = fn(self._slice_arms(lo, hi, mb, arms=base),
+                     self.templates, *args)
             parts.append(jax.tree_util.tree_map(
                 lambda x: x[:hi - lo], out))
         return jax.tree_util.tree_map(
@@ -519,9 +532,10 @@ class BatchedFitter:
                     [s.reshape(bb, -1), f, d[:, None].astype(s.dtype)],
                     axis=1)
 
-            init_p = jax.jit(lambda s, arms: pack(*init_raw(s, arms)[:3]))
-            chunk_p = jax.jit(
-                lambda s, f, d, arms: pack(*chunk_raw(s, f, d, arms)[:3]))
+            init_p = jax.jit(lambda s, arms, templ: pack(
+                *init_raw(s, arms, templ)[:3]))
+            chunk_p = jax.jit(lambda s, f, d, arms, templ: pack(
+                *chunk_raw(s, f, d, arms, templ)[:3]))
             fns = (init_p, chunk_p)
             self._objective_cache[pkey] = fns
         init_p, chunk_p = fns
@@ -550,7 +564,7 @@ class BatchedFitter:
             for sel, sel_p in tiles_of(idx):
                 unpack_to_host(sel, init_p(
                     jnp.asarray(simplex_h[sel_p], dt),
-                    self._gather_arms(sel_p)))
+                    self._gather_arms(sel_p), self.templates))
 
         eval_init(np.arange(b))
         for restart in range(maxrestart):
@@ -576,7 +590,7 @@ class BatchedFitter:
                         jnp.asarray(simplex_h[sel_p], dt),
                         jnp.asarray(fvals_h[sel_p], dt),
                         jnp.asarray(done_h[sel_p]),
-                        self._gather_arms(sel_p)))
+                        self._gather_arms(sel_p), self.templates))
                 nit += chunk
 
         rows = np.arange(b)
@@ -621,14 +635,14 @@ class BatchedFitter:
                         mu, sig = priors[pname]
                         prior_rows.append((i, float(mu), float(sig)))
 
-            def scalar_obj(arms_one, vel, rest):
+            def scalar_obj(arms_one, templates, vel, rest):
                 # rest: (nvec-1,) non-velocity coordinates -> scalar
                 # differentiable -2logL for ONE fiber (arms_one: the
                 # vmap-stripped per-fiber ArmState list)
                 xv = jnp.concatenate([vel[None], rest])
                 _, params, vsini, penalty = mapper.unpack(xv[None])
                 chi = chisq_trials_core(
-                    arms_one, self.templates, vel[None], params, vsini,
+                    arms_one, templates, vel[None], params, vsini,
                     badchi=self.badchi, use_vsini=self.use_vsini,
                     half_widths=self._half_widths, outside_penalty=True,
                     solve_dtype=self.solve_dtype)[0]
@@ -638,16 +652,16 @@ class BatchedFitter:
 
             ladder = jnp.asarray([1.0, 0.25, 0.05])
 
-            def polish_tile(arms_slice, x0, f0):
+            def polish_tile(arms_slice, templates, x0, f0):
                 def body(_, carry):
                     xc, fc = carry
                     vel, rest = xc[:, 0], xc[:, 1:]
-                    g = jax.vmap(jax.grad(scalar_obj, argnums=2),
-                                 in_axes=(self.arm_axes_ad, 0, 0))(
-                                     arms_slice, vel, rest)
-                    h = jax.vmap(jax.hessian(scalar_obj, argnums=2),
-                                 in_axes=(self.arm_axes_ad, 0, 0))(
-                                     arms_slice, vel, rest)
+                    g = jax.vmap(jax.grad(scalar_obj, argnums=3),
+                                 in_axes=(self.arm_axes_ad, None, 0, 0))(
+                                     arms_slice, templates, vel, rest)
+                    h = jax.vmap(jax.hessian(scalar_obj, argnums=3),
+                                 in_axes=(self.arm_axes_ad, None, 0, 0))(
+                                     arms_slice, templates, vel, rest)
                     dh = jnp.abs(jnp.diagonal(h, axis1=-2, axis2=-1))
                     ridge = 1e-6 * jnp.maximum(dh, 1e-12)
                     hs = h + jax.vmap(jnp.diag)(ridge)
@@ -662,7 +676,7 @@ class BatchedFitter:
                         cand_rest], axis=2)
                     cand = jnp.concatenate([cand, xc[:, None, :]],
                                            axis=1)          # (B, 4, n)
-                    fcand = objective(cand, arms_slice)      # (B, 4)
+                    fcand = objective(cand, arms_slice, templates)
                     fcand = jnp.where(jnp.isfinite(fcand), fcand,
                                       jnp.inf)
                     ib = jnp.argmin(fcand, axis=1)
@@ -703,9 +717,10 @@ class BatchedFitter:
                     mu, sig = priors[pname]
                     prior_rows.append((i, float(mu), float(sig)))
 
-        def objective(x, arms):
-            # x: (B, K, nvec) -> (B, K); arms passed as traced args so
-            # one compiled program serves every fiber tile
+        def objective(x, arms, templates):
+            # x: (B, K, nvec) -> (B, K); arms + templates passed as
+            # traced args so one compiled program serves every fiber
+            # tile and no big constants are baked into the executable
             b, k, nvec = x.shape
             vel, params, vsini, penalty = mapper.unpack(
                 x.reshape(b * k, nvec))
@@ -715,7 +730,7 @@ class BatchedFitter:
             penalty = penalty.reshape(b, k)
             chisq_b = self._chisq_fibers_ad if ad else \
                 self._chisq_fibers.__wrapped__
-            chis = chisq_b(arms, vel, params, vsini)
+            chis = chisq_b(arms, templates, vel, params, vsini)
             for i, mu, sig in prior_rows:
                 chis = chis + ((params[:, :, i] - mu) / sig)**2
             chis = chis + penalty
@@ -745,7 +760,7 @@ class BatchedFitter:
         # is worth trimming)
         nv_win = 128
 
-        def step_one(arms_slice, nv_cur, state, param, vsini,
+        def step_one(arms_slice, templates, nv_cur, state, param, vsini,
                      fast_interp=False):
             """One refinement iteration on an nv_cur-point grid."""
             dt = self.dtype
@@ -755,7 +770,8 @@ class BatchedFitter:
             mask = grid < hi
             mask = mask.at[0].set(True)   # at least one valid point
             grid = jnp.where(mask, grid, grid[0])
-            chi = self._scan_one_fiber(arms_slice, grid, param, vsini,
+            chi = self._scan_one_fiber(arms_slice, templates, grid,
+                                       param, vsini,
                                        fast_interp=fast_interp)
             new_stats = _device_scan_stats(grid, mask, chi)
             stats = jnp.where(done, stats, new_stats)
@@ -778,13 +794,15 @@ class BatchedFitter:
                     stats)
 
         def step_all(nv_cur, fast_interp=False):
-            def fn(arms, s0, s1, s2, s3, s4, s5, params, vsinis):
+            def fn(arms, templates, s0, s1, s2, s3, s4, s5, params,
+                   vsinis):
                 st = jax.vmap(
-                    lambda a, t0, t1, t2, t3, t4, t5, p, w: step_one(
-                        a, nv_cur, (t0, t1, t2, t3, t4, t5), p, w,
+                    lambda a, tm, t0, t1, t2, t3, t4, t5, p, w: step_one(
+                        a, tm, nv_cur, (t0, t1, t2, t3, t4, t5), p, w,
                         fast_interp=fast_interp),
-                    in_axes=(self.arm_axes,) + (0,) * 8)(
-                        arms, s0, s1, s2, s3, s4, s5, params, vsinis)
+                    in_axes=(self.arm_axes, None) + (0,) * 8)(
+                        arms, templates, s0, s1, s2, s3, s4, s5, params,
+                        vsinis)
                 return st + (jnp.all(st[4]),)
             return fn
 
@@ -799,7 +817,7 @@ class BatchedFitter:
         # chip: running the broad pass in fast_interp nearest-pixel
         # mode is SLOWER — the XLA gather it lowers to loses to the
         # Pallas cubic.)
-        def refine_prog(arms, best0, params, vsinis):
+        def refine_prog(arms, templates, best0, params, vsinis):
             bb = best0.shape[0]
             dt = best0.dtype
             state = (jnp.clip(best0, min_vel0, max_vel0),
@@ -807,7 +825,7 @@ class BatchedFitter:
                      jnp.full(bb, max_vel0, dt),
                      jnp.full(bb, vel_step0, dt),
                      jnp.zeros(bb, bool), jnp.zeros((bb, 5), dt))
-            out = full_step(arms, *state, params, vsinis)
+            out = full_step(arms, templates, *state, params, vsinis)
             state = out[:6]
 
             def cond(carry):
@@ -816,7 +834,7 @@ class BatchedFitter:
 
             def body(carry):
                 it, st = carry
-                out = win_step(arms, *st, params, vsinis)
+                out = win_step(arms, templates, *st, params, vsinis)
                 return it + 1, out[:6]
 
             it, state = jax.lax.while_loop(cond, body, (1, state))
@@ -870,18 +888,18 @@ class BatchedFitter:
         """
         b = self.nfibers
 
-        def model_one(arms_slice, vel, param, vsini):
+        def model_one(arms_slice, templates, vel, param, vsini):
             from rvspecfit_tpu.fit.likelihood import (template_stage,
                                                       _eval_doppler_single)
             from rvspecfit_tpu.ops import chisq as chisq_mod
             stage = {s: template_stage(
-                self.templates[s], param[None, :], vsini[None],
+                templates[s], param[None, :], vsini[None],
                 self.use_vsini, self._half_widths.get(s))
-                for s in self.templates}
+                for s in templates}
             out = []
             for arm in arms_slice:
                 coeffs = stage[arm.setup][0][0]
-                tm = self.templates[arm.setup]
+                tm = templates[arm.setup]
                 val = _eval_doppler_single(arm, tm, coeffs, vel[None])[0]
                 if arm.band is not None:
                     val = arm.band.matvec(val)
@@ -908,7 +926,8 @@ class BatchedFitter:
         fn = self._objective_cache.get(key)
         if fn is None:
             fn = jax.jit(jax.vmap(model_one,
-                                  in_axes=(self.arm_axes, 0, 0, 0)))
+                                  in_axes=(self.arm_axes, None, 0, 0,
+                                           0)))
             self._objective_cache[key] = fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)
@@ -952,9 +971,9 @@ class BatchedFitter:
         hkey = ('hess', tuple(prior_rows))
         hess_fn = self._objective_cache.get(hkey)
         if hess_fn is None:
-            def half_chisq(arms_slice, vel, param, vsini):
+            def half_chisq(arms_slice, templates, vel, param, vsini):
                 chi = chisq_trials_core(
-                    arms_slice, self.templates, vel[None], param[None, :],
+                    arms_slice, templates, vel[None], param[None, :],
                     vsini[None], badchi=self.badchi,
                     use_vsini=self.use_vsini,
                     half_widths=self._half_widths, outside_penalty=True,
@@ -964,8 +983,8 @@ class BatchedFitter:
                 return 0.5 * chi
 
             hess_fn = jax.jit(jax.vmap(
-                jax.hessian(half_chisq, argnums=2),
-                in_axes=(self.arm_axes_ad, 0, 0, 0)))
+                jax.hessian(half_chisq, argnums=3),
+                in_axes=(self.arm_axes_ad, None, 0, 0, 0)))
             self._objective_cache[hkey] = hess_fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)

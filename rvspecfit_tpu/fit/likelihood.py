@@ -265,6 +265,29 @@ def scan_core(arms, templates, vels, param, vsini, *, badchi, use_vsini,
     return total
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_trials_fn(badchi, use_vsini, half_widths_items,
+                      outside_penalty, solve_dtype_name, fast_interp):
+    """One compiled trials program per static configuration, shared by
+    every FusedChisq instance; arms and templates are traced args."""
+    solve_dtype = None if solve_dtype_name is None else \
+        jnp.dtype(solve_dtype_name)
+    half_widths = dict(half_widths_items)
+
+    @jax.jit
+    def fn(arms, templates, vels, params, vsinis):
+        return chisq_trials_core(
+            tuple(arms), templates, vels, params, vsinis,
+            badchi=badchi, use_vsini=use_vsini,
+            half_widths=half_widths, outside_penalty=outside_penalty,
+            solve_dtype=solve_dtype, fast_interp=fast_interp)
+
+    return fn
+
+
 class FusedChisq:
     """Compiled batched likelihood for a fixed set of datasets.
 
@@ -331,7 +354,18 @@ class FusedChisq:
                 self._half_widths[s] = vsini_mod.kernel_half_width(
                     float(config['max_vsini']), tm.log_step)
 
-        self._jit_trials = jax.jit(self._chisq_trials)
+        # module-level jitted cores shared across FusedChisq instances
+        # (vel_fit.process builds one FusedChisq per object; per-
+        # instance jits would retrace and recompile per object, and
+        # closing over arms/templates would bake tens of MB of
+        # constants into each executable)
+        self._jit_trials_core = _shared_trials_fn(
+            self.badchi, self.use_vsini,
+            tuple(sorted(self._half_widths.items())),
+            self.outside_penalty,
+            None if self.solve_dtype is None else
+            np.dtype(self.solve_dtype).name,
+            self.fast_interp)
         self._jit_full = jax.jit(self._full_single)
 
     # ---------------- core batched computation ----------------
@@ -367,8 +401,10 @@ class FusedChisq:
             vsinis = jnp.zeros(t, dtype=vels.dtype)
         else:
             vsinis = jnp.asarray(vsinis)
+        run = lambda v, p, w: self._jit_trials_core(
+            tuple(self.arms), self.templates, v, p, w)
         if chunk is None or t <= chunk:
-            return self._jit_trials(vels, params, vsinis)
+            return run(vels, params, vsinis)
         outs = []
         for i in range(0, t, chunk):
             sl = slice(i, min(i + chunk, t))
@@ -378,7 +414,7 @@ class FusedChisq:
                 v = jnp.pad(v, (0, pad))
                 p = jnp.pad(p, ((0, pad), (0, 0)), mode='edge')
                 w = jnp.pad(w, (0, pad))
-            outs.append(self._jit_trials(v, p, w)[:sl.stop - sl.start])
+            outs.append(run(v, p, w)[:sl.stop - sl.start])
         return jnp.concatenate(outs)
 
     def chisq_one(self, vel, params, vsini=None):

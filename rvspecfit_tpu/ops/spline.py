@@ -78,19 +78,27 @@ class SplineGeometry:
     denom_inv: jnp.ndarray   # (n-2,) 1/(b_i - c_{i-1} cp_{i-1})
     fwd_a: jnp.ndarray       # (n-2,) -c_{i-1}/denom_i   (first entry 0)
     cp: jnp.ndarray          # (n-2,) c'_i (last entry 0)
+    # banded-inverse solve data (None for tiny grids): the inverse of
+    # the spline tridiagonal decays as r^|i-j| with r = 2 - sqrt(3),
+    # so z = M^-1 u is a (2w+1)-tap convolution with the middle
+    # inverse row plus exact low-rank corrections for the first/last
+    # E rows — a handful of fused ops instead of two log(n)-depth
+    # associative scans (and far cheaper to differentiate)
+    inv_kernel: jnp.ndarray | None = None    # (2w+1,)
+    inv_top: jnp.ndarray | None = None       # (E, Wtop) correction
+    inv_bot: jnp.ndarray | None = None       # (E, Wtop) correction
 
     def tree_flatten(self):
         children = (self.h, self.hinv, self.xs, self.denom_inv,
-                    self.fwd_a, self.cp)
+                    self.fwd_a, self.cp, self.inv_kernel, self.inv_top,
+                    self.inv_bot)
         aux = (self.x0, self.x_last, self.step, self.n, self.log_step)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         x0, x_last, step, n, log_step = aux
-        h, hinv, xs, denom_inv, fwd_a, cp = children
-        return cls(x0, x_last, step, n, log_step, h, hinv, xs,
-                   denom_inv, fwd_a, cp)
+        return cls(x0, x_last, step, n, log_step, *children)
 
     @classmethod
     def from_knots(cls, xs, log_step, dtype=None, validate=True):
@@ -130,10 +138,66 @@ class SplineGeometry:
         if dtype is None:
             dtype = jnp.zeros(0).dtype  # respects jax x64 setting
         to = lambda v: jnp.asarray(v, dtype=dtype)
+
+        # Banded-inverse solve data.  The (n-2) system has rows
+        # (h_j, 2(h_j+h_{j+1}), h_{j+1}); with geometric spacings
+        # (log grids: h_{j+1} = q h_j exactly; linear: q = 1) it
+        # factors as diag(h_j) @ K with K = TOEPLITZ tridiag
+        # (1, 2(1+q), q), so z = K^-1 (u_j/h_j).  K^-1 rows decay as
+        # ~0.268^|i-j|: the middle row windowed to 2w+1 taps is the
+        # convolution kernel; the first/last E rows get exact
+        # corrections (K is not persymmetric, so both ends are solved
+        # explicitly).
+        w_band, e_rows = 22, 30  # truncation ~0.268^22 ~ 3e-13
+        m2 = n - 2
+        inv_kernel = inv_top = inv_bot = None
+        hr = h[1:] / h[:-1]
+        q = float(hr[0]) if len(hr) else 1.0
+        geometric = np.allclose(hr, q, rtol=1e-9, atol=0)
+        if m2 >= 4 * e_rows and geometric:
+            from scipy.linalg import solve_banded
+
+            # rows of K^-1 = columns of (K^T)^-1; K^T is tridiag
+            # with upper diagonal 1 and lower diagonal q
+            ab = np.zeros((3, m2))
+            ab[0, 1:] = 1.0
+            ab[1, :] = 2.0 * (1.0 + q)
+            ab[2, :-1] = q
+            mid = m2 // 2
+            want = list(range(e_rows)) + [mid] + \
+                list(range(m2 - e_rows, m2))
+            rhs = np.zeros((m2, len(want)))
+            rhs[want, np.arange(len(want))] = 1.0
+            rows = solve_banded((1, 1), ab, rhs).T      # (nrhs, m2)
+
+            def inv_row(i):
+                return rows[want.index(i)]
+
+            kern = inv_row(mid)[mid - w_band:mid + w_band + 1]
+
+            def correction(i):
+                row = inv_row(i)
+                toep = np.zeros(m2)
+                lo = max(0, i - w_band)
+                hi = min(m2, i + w_band + 1)
+                toep[lo:hi] = kern[lo - (i - w_band):
+                                   (hi - i) + w_band]
+                return row - toep
+
+            wtop = e_rows + w_band + 1
+            top = np.stack([correction(i)[:wtop]
+                            for i in range(e_rows)])
+            bot = np.stack([correction(m2 - e_rows + i)[-wtop:]
+                            for i in range(e_rows)])
+            inv_kernel = to(kern)
+            inv_top = to(top)
+            inv_bot = to(bot)
+
         return cls(
             x0=float(xs64[0]), x_last=float(xs64[-1]), step=step, n=n,
             log_step=bool(log_step), h=to(h), hinv=to(1.0 / h), xs=to(xs64),
-            denom_inv=to(1.0 / denom), fwd_a=to(fwd_a), cp=to(cp))
+            denom_inv=to(1.0 / denom), fwd_a=to(fwd_a), cp=to(cp),
+            inv_kernel=inv_kernel, inv_top=inv_top, inv_bot=inv_bot)
 
 
 def spline_coeffs(geom: SplineGeometry, ys):
@@ -151,6 +215,21 @@ def spline_coeffs(geom: SplineGeometry, ys):
         S(x) = A*dxl^3 + B*dxr^3 + C*dxl + D*dxr,
         dxl = x - x_i, dxr = x_{i+1} - x.
     """
+    if geom.inv_kernel is not None:
+        batch_shape = ys.shape[:-1]
+        yb = ys.reshape((-1, ys.shape[-1]))
+        z_int = _banded_inverse_solve(geom, yb)
+        zeros = jnp.zeros(z_int.shape[:-1] + (1,), dtype=ys.dtype)
+        z = jnp.concatenate([zeros, z_int, zeros], axis=-1)  # (B, n)
+        h, hinv = geom.h, geom.hinv
+        sixth = 1.0 / 6.0
+        a_coef = z[:, 1:] * hinv * sixth
+        b_coef = z[:, :-1] * hinv * sixth
+        c_coef = yb[:, 1:] * hinv - z[:, 1:] * h * sixth
+        d_coef = yb[:, :-1] * hinv - z[:, :-1] * h * sixth
+        out = jnp.stack([a_coef, b_coef, c_coef, d_coef], axis=-1)
+        return out.reshape(batch_shape + (geom.n - 1, 4))
+
     if ys.ndim > 1:
         return jax.vmap(lambda y: spline_coeffs(geom, y))(
             ys.reshape((-1, ys.shape[-1]))).reshape(
@@ -172,6 +251,34 @@ def spline_coeffs(geom: SplineGeometry, ys):
     c_coef = ys[1:] * hinv - z[1:] * h * sixth
     d_coef = ys[:-1] * hinv - z[:-1] * h * sixth
     return jnp.stack([a_coef, b_coef, c_coef, d_coef], axis=-1)
+
+
+def _banded_inverse_solve(geom: SplineGeometry, yb):
+    """z interior values for a (B, n) batch via the banded inverse.
+
+    z = K^-1 (u_j / h_j) with u the 6*(slope difference) vector: one
+    (2w+1)-tap cross-correlation with the middle inverse row plus
+    exact corrections on the first/last E rows (see from_knots).
+    """
+    hinv = geom.hinv
+    slopes = (yb[:, 1:] - yb[:, :-1]) * hinv           # (B, n-1)
+    m2 = geom.n - 2
+    up = 6.0 * (slopes[:, 1:] - slopes[:, :-1]) * hinv[:m2]
+    kern = geom.inv_kernel
+    w_band = (kern.shape[0] - 1) // 2
+    # XLA conv computes cross-correlation (no kernel flip), which is
+    # exactly the row-Toeplitz application sum_d kern[d+w] u_{j+d}
+    z = jax.lax.conv_general_dilated(
+        up[:, None, :], kern[None, None, :].astype(up.dtype),
+        window_strides=(1,), padding=[(w_band, w_band)],
+        dimension_numbers=('NCH', 'OIH', 'NCH'))[:, 0, :]
+    e_rows, wtop = geom.inv_top.shape
+    hp = jax.lax.Precision.HIGHEST
+    top_fix = jnp.dot(up[:, :wtop], geom.inv_top.T, precision=hp)
+    bot_fix = jnp.dot(up[:, m2 - wtop:], geom.inv_bot.T, precision=hp)
+    z = z.at[:, :e_rows].add(top_fix)
+    z = z.at[:, m2 - e_rows:].add(bot_fix)
+    return z
 
 
 def spline_eval(geom: SplineGeometry, coeffs, x):

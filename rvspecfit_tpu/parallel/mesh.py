@@ -67,7 +67,8 @@ def shard_fitter(bf, mesh, axis='data'):
             idx0=None if arm.idx0 is None else
             jax.device_put(arm.idx0, repl),
             lam_over_step=None if arm.lam_over_step is None else
-            jax.device_put(arm.lam_over_step, repl))
+            jax.device_put(arm.lam_over_step, repl),
+            pallas_window=arm.pallas_window)
 
     bf.arms = [place(a) for a in bf.arms]
     bf.templates = {k: jax.device_put(v, repl)

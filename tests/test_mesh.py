@@ -30,8 +30,8 @@ def test_sharded_chisq_matches_unsharded():
     m = pmesh.make_mesh()
     pmesh.shard_fitter(bf2, m)
     v_s, p_s, _ = pmesh.shard_trials(bf2, vels, par)
-    got = np.asarray(bf2._chisq_fibers(bf2.arms, v_s, p_s,
-                                       jnp.zeros_like(v_s)))
+    got = np.asarray(bf2._chisq_fibers(bf2.arms, bf2.templates, v_s,
+                                       p_s, jnp.zeros_like(v_s)))
     np.testing.assert_allclose(got, ref, rtol=1e-10)
 
 

@@ -89,7 +89,8 @@ def test_batched_fitter_pallas_matches_xla(monkeypatch):
     monkeypatch.setenv('RVST_PALLAS_SPLINE', 'interpret')
     bf1 = BatchedFitter(arms, templates, config, options={'npoly': 6})
     assert bf1.arms[0].pallas_window is not None
-    got = np.asarray(bf1._chisq_fibers(bf1.arms, vels, params, vsin))
+    got = np.asarray(bf1._chisq_fibers(bf1.arms, bf1.templates, vels,
+                                       params, vsin))
     errs1, _, _ = bf1.hessian_errors(np.zeros(b),
                                      np.asarray(params[:, 0, :]),
                                      parnames=tm.parnames)
@@ -97,7 +98,8 @@ def test_batched_fitter_pallas_matches_xla(monkeypatch):
     monkeypatch.setenv('RVST_PALLAS_SPLINE', '0')
     bf0 = BatchedFitter(arms, templates, config, options={'npoly': 6})
     assert bf0.arms[0].pallas_window is None
-    ref = np.asarray(bf0._chisq_fibers(bf0.arms, vels, params, vsin))
+    ref = np.asarray(bf0._chisq_fibers(bf0.arms, bf0.templates, vels,
+                                       params, vsin))
     errs0, _, _ = bf0.hessian_errors(np.zeros(b),
                                      np.asarray(params[:, 0, :]),
                                      parnames=tm.parnames)

@@ -85,7 +85,7 @@ def main():
     def mk_full():
         def body(i, c):
             v, p = c
-            chi = bf._chisq_fibers.__wrapped__(arms_tile, v, p, vsinis)
+            chi = bf._chisq_fibers.__wrapped__(arms_tile, bf.templates, v, p, vsinis)
             return v + eps * jnp.mean(chi), p
         return body
     t_full = loop_time('full chisq_fibers (B=125,K=4)', mk_full,

@@ -96,7 +96,7 @@ def main():
           f'{t_trials} trials/call) ==')
 
     # 1. full objective (what NM evaluates twice per iteration)
-    full_dt, _ = timeit(bf._chisq_fibers, arms_tile, vels, params, vsinis)
+    full_dt, _ = timeit(bf._chisq_fibers, arms_tile, bf.templates, vels, params, vsinis)
     print(f'full chisq_fibers:            {full_dt*1e3:8.2f} ms')
 
     # 2. template stage alone: interp eval_batch + spline_coeffs
@@ -165,8 +165,9 @@ def main():
     simplex = nm.build_simplex(jnp.asarray(x0), mapper.scales(),
                                seed=vel_fit.SIMPLEX_SEED)
     simplex = jnp.asarray(np.asarray(simplex), dt)
-    s, f, d, _ = init_fn(simplex, arms_tile)
-    ck_dt, _ = timeit(chunk_fn, s, f, d, arms_tile, n=3, warmup=1)
+    s, f, d, _ = init_fn(simplex, arms_tile, bf.templates)
+    ck_dt, _ = timeit(chunk_fn, s, f, d, arms_tile, bf.templates,
+                      n=3, warmup=1)
     per_iter = ck_dt / args.nm_chunk
     print(f'NM chunk ({args.nm_chunk} iters):        {ck_dt*1e3:8.2f} ms '
           f'({per_iter*1e3:.2f} ms/iter; objective ~2x/iter -> '
@@ -185,7 +186,7 @@ def main():
             rng.uniform(-1.8, -0.2, (bb, kk)),
             rng.uniform(0.1, 0.9, (bb, kk))], axis=-1), dt)
         ww = jnp.zeros((bb, kk), dt)
-        sw_dt, _ = timeit(bf._chisq_fibers, at, vv, pp, ww, n=5)
+        sw_dt, _ = timeit(bf._chisq_fibers, at, bf.templates, vv, pp, ww, n=5)
         print(f'  chisq_fibers B={bb:4d} K={kk}: {sw_dt*1e3:8.2f} ms '
               f'({sw_dt/(bb*kk)*1e6:6.1f} us/trial)')
 
@@ -222,8 +223,8 @@ def main():
         jax.profiler.start_trace(args.trace)
         for _ in range(5):
             jax.block_until_ready(
-                bf._chisq_fibers(arms_tile, vels, params, vsinis))
-        jax.block_until_ready(chunk_fn(s, f, d, arms_tile))
+                bf._chisq_fibers(arms_tile, bf.templates, vels, params, vsinis))
+        jax.block_until_ready(chunk_fn(s, f, d, arms_tile, bf.templates))
         jax.profiler.stop_trace()
         print(f'trace written to {args.trace}')
 
