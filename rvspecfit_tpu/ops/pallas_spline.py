@@ -53,7 +53,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 256   # on-chip sweep: 256 beats 512/128 (tools/ab)
-ROWS = 8          # rows per program (TPU sublane granularity)
+ROWS = 8          # minimum rows per program (TPU sublane granularity)
+# per-cell coefficient block cap: rows * 4 * n_pad * itemsize must fit
+# comfortably in VMEM next to its double buffer
+_BLOCK_BYTES = 4 << 20
+
+
+def _auto_rows(rr, n_pad, itemsize=4):
+    """Rows per grid cell: as many as the VMEM block budget allows.
+
+    Mosaic's per-cell overhead (scalar prologue + DMA orchestration,
+    ~10 us) dominated the v2 kernel at 8 rows/cell (measured ~250
+    cells x 10 us ~ whole-call cost); 32 rows cuts the cell count 4x.
+    """
+    rows = ROWS
+    while rows < 32 and rows * 2 * 4 * n_pad * itemsize <= _BLOCK_BYTES \
+            and rr % (rows * 2) == 0:
+        rows *= 2
+    return rows
 
 
 def window_size(idx0, tile=DEFAULT_TILE, margin=4):
@@ -85,8 +102,9 @@ def pack_coeffs(coeffs, window):
 
 def _kernel(u_ref, coeffs_ref, out_ref, *, window, nm1, x0, step,
             log_step, expm1_step, shared):
-    u = u_ref[:, :]                                   # (ROWS, TILE)
+    u = u_ref[:, :]                                   # (rows, TILE)
     dt = u.dtype
+    rows = u.shape[0]
 
     # per-row window starts: first query of each row's tile (queries
     # are monotonic in pixel), rounded down to a 128-lane multiple so
@@ -113,25 +131,30 @@ def _kernel(u_ref, coeffs_ref, out_ref, *, window, nm1, x0, step,
         dxr = (1.0 - frac) * dt.type(step)
 
     tile = u.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
-    vals = []
-    for j in range(ROWS):
-        # static-width coefficient window: in-VMEM dynamic slice of
-        # the pipelined block (no manual DMA)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, window, tile), 1)
+    # static-width coefficient windows: in-VMEM dynamic slices of the
+    # pipelined block (no manual DMA); slices are per row (s0 differs
+    # by the rows' velocity spread), but the gather matmuls run as ONE
+    # batched dot_general over the row axis — v2 issued 8 sequential
+    # (4, W) x (W, T) matmuls whose serialization dominated the cell
+    wins = []
+    for j in range(rows):
         start = pl.multiple_of(s0[j], 128)
-        win = coeffs_ref[0 if shared else j, :, pl.ds(start, window)]
-        # one-hot gather on the MXU: (4, W) x (W, TILE) -> (4, TILE)
-        onehot = (cols == lidx[j][None, :]).astype(dt)
-        # HIGHEST precision: the default MXU f32 path multiplies in
-        # bf16 passes, corrupting the gathered coefficients (~4e-3)
-        cf = jax.lax.dot_general(
-            win, onehot, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dt)
-        vals.append(cf[0] * dxl[j] * dxl[j] * dxl[j]
-                    + cf[1] * dxr[j] * dxr[j] * dxr[j]
-                    + cf[2] * dxl[j] + cf[3] * dxr[j])
-    out_ref[:, :] = jnp.stack(vals, axis=0)
+        wins.append(coeffs_ref[0 if shared else j, :,
+                               pl.ds(start, window)])
+    wins = jnp.stack(wins, axis=0)                    # (rows, 4, W)
+    # one-hot gather on the MXU, batched over rows:
+    # (ROWS, 4, W) x (ROWS, W, TILE) -> (ROWS, 4, TILE)
+    onehot = (cols == lidx[:, None, :]).astype(dt)
+    # HIGHEST precision: the default MXU f32 path multiplies in
+    # bf16 passes, corrupting the gathered coefficients (~4e-3)
+    cf = jax.lax.dot_general(
+        wins, onehot, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dt)
+    out_ref[:, :] = (cf[:, 0] * dxl * dxl * dxl
+                     + cf[:, 1] * dxr * dxr * dxr
+                     + cf[:, 2] * dxl + cf[:, 3] * dxr)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -145,8 +168,17 @@ def _eval_packed(coeffs_packed, u, *, window, nm1, x0, step, log_step,
     rr, npix = u.shape
     n_pad = coeffs_packed.shape[-1]
     shared = rows_per_coeff > 1
-    if shared and rows_per_coeff % ROWS:
-        raise ValueError('rows_per_coeff must be a multiple of ROWS')
+    if shared:
+        # one coefficient plane per cell: cell rows must not straddle
+        # coefficient-row boundaries
+        rows = ROWS
+        while rows < 32 and rows_per_coeff % (rows * 2) == 0 \
+                and rr % (rows * 2) == 0:
+            rows *= 2
+    else:
+        rows = _auto_rows(rr, n_pad, coeffs_packed.dtype.itemsize)
+    if shared and rows_per_coeff % rows:
+        raise ValueError('rows_per_coeff must be a multiple of rows')
     kern = functools.partial(
         _kernel, window=window, nm1=nm1, x0=x0, step=step,
         log_step=log_step,
@@ -155,17 +187,18 @@ def _eval_packed(coeffs_packed, u, *, window, nm1, x0, step, log_step,
     if shared:
         cspec = pl.BlockSpec(
             (1, 4, n_pad),
-            lambda r, t, _rpc=rows_per_coeff: (r * ROWS // _rpc, 0, 0))
+            lambda r, t, _rpc=rows_per_coeff, _rw=rows:
+            (r * _rw // _rpc, 0, 0))
     else:
-        cspec = pl.BlockSpec((ROWS, 4, n_pad), lambda r, t: (r, 0, 0))
+        cspec = pl.BlockSpec((rows, 4, n_pad), lambda r, t: (r, 0, 0))
     return pl.pallas_call(
         kern,
-        grid=(rr // ROWS, npix // tile),
+        grid=(rr // rows, npix // tile),
         in_specs=[
-            pl.BlockSpec((ROWS, tile), lambda r, t: (r, t)),
+            pl.BlockSpec((rows, tile), lambda r, t: (r, t)),
             cspec,
         ],
-        out_specs=pl.BlockSpec((ROWS, tile), lambda r, t: (r, t)),
+        out_specs=pl.BlockSpec((rows, tile), lambda r, t: (r, t)),
         out_shape=jax.ShapeDtypeStruct((rr, npix), u.dtype),
         interpret=interpret,
     )(u, coeffs_packed)
@@ -248,7 +281,12 @@ def spline_eval_index_pallas(geom, coeffs, u, window, tile=DEFAULT_TILE,
     nm1 = coeffs.shape[-2]
     _check_geom(geom)
     packed = pack_coeffs(coeffs, window)
-    rpad = (-rr) % ROWS
+    # pad the row count to the widest cell the VMEM budget allows so
+    # _auto_rows can cut the Mosaic cell count (per-cell overhead
+    # dominates at 8 rows/cell)
+    rgran = _auto_rows(32 * ((rr + 31) // 32), packed.shape[-1],
+                       packed.dtype.itemsize) if rr >= 32 else ROWS
+    rpad = (-rr) % rgran
     if rpad:
         packed = jnp.concatenate(
             [packed, jnp.broadcast_to(packed[-1:],
@@ -284,7 +322,7 @@ def spline_eval_index_pallas_shared(geom, coeffs, u, window,
     v, npix = u.shape
     nm1 = coeffs.shape[-2]
     _check_geom(geom)
-    vpad_n = (-v) % ROWS
+    vpad_n = (-v) % (32 if v >= 32 else ROWS)
     u_in = u if not vpad_n else jnp.concatenate(
         [u, jnp.broadcast_to(u[-1:], (vpad_n, npix))])
     vpad = v + vpad_n

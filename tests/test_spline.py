@@ -60,6 +60,26 @@ def test_out_of_range_masked():
     assert np.isfinite(np.asarray(val)).all()
 
 
+def test_banded_inverse_matches_scan_solve():
+    """The banded-inverse construction (geometric grids, n >= 120)
+    must agree with the associative-scan tridiagonal solve to float64
+    round-off; both paths golden vs scipy elsewhere."""
+    import dataclasses
+    rng = np.random.RandomState(11)
+    for log_step in (False, True):
+        x = (10**np.linspace(3, 3.1, 512) if log_step
+             else np.linspace(4000.0, 5000.0, 512))
+        geom = spline.SplineGeometry.from_knots(x, log_step=log_step)
+        assert geom.inv_kernel is not None, 'banded path inactive'
+        geom_scan = dataclasses.replace(geom, inv_kernel=None,
+                                        inv_top=None, inv_bot=None)
+        ys = jnp.asarray(rng.normal(size=(3, 512)))
+        banded = np.asarray(spline.spline_coeffs(geom, ys))
+        scan = np.asarray(spline.spline_coeffs(geom_scan, ys))
+        scale = np.abs(scan).max()
+        np.testing.assert_allclose(banded, scan, rtol=0, atol=1e-10 * scale)
+
+
 def test_jit_and_grad():
     x = np.linspace(1.0, 2.0, 128)
     geom = spline.SplineGeometry.from_knots(x, log_step=False)

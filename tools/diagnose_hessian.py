@@ -71,15 +71,15 @@ def main():
     import jax.numpy as jnp
     from rvspecfit_tpu.fit.likelihood import chisq_trials_core
 
-    def half_chisq(arms_slice, vel, param, vsini):
+    def half_chisq(arms_slice, templates, vel, param, vsini):
         return 0.5 * chisq_trials_core(
-            arms_slice, bf.templates, vel[None], param[None, :],
+            arms_slice, templates, vel[None], param[None, :],
             vsini[None], badchi=bf.badchi, use_vsini=bf.use_vsini,
             half_widths=bf._half_widths, outside_penalty=True,
             solve_dtype=bf.solve_dtype)[0]
 
-    hess_fn = jax.jit(jax.vmap(jax.hessian(half_chisq, argnums=2),
-                               in_axes=(bf.arm_axes_ad, 0, 0, 0)))
+    hess_fn = jax.jit(jax.vmap(jax.hessian(half_chisq, argnums=3),
+                               in_axes=(bf.arm_axes_ad, None, 0, 0, 0)))
     hs = np.asarray(bf._run_mb(
         hess_fn, jnp.asarray(ref['best_vel'], bf.dtype),
         jnp.asarray(params_b, bf.dtype),
