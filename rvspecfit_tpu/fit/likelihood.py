@@ -86,7 +86,8 @@ def _doppler_u(arm, tm, vels):
 def _eval_doppler_single(arm, tm, coeffs, vels, fast_interp=False):
     """Doppler evaluation of ONE template at many velocities.
 
-    coeffs: (n-1, 4) spline coefficients — or (n,) raw knot values in
+    coeffs: (4, n-1) planes-first spline coefficients — or (n,) raw
+    knot values in
     ``fast_interp`` (nearest-pixel) mode; vels: (V,) -> (V, npix).
     """
     if arm.idx0 is not None:
@@ -119,7 +120,7 @@ def _eval_doppler(arm, tm, coeffs, vels, fast_interp=False):
     ``fast_interp`` switches to nearest-pixel gathers on raw template
     values (reference: spec_fit.py:913-918).
 
-    coeffs: (T, n-1, 4) per-trial spline coefficients (or (T, n) raw
+    coeffs: (T, 4, n-1) per-trial planes-first spline coefficients (or (T, n) raw
     values in fast_interp mode); vels: (T,).  Returns (T, npix).
     """
     if arm.idx0 is not None:
@@ -150,7 +151,7 @@ def template_stage(tm: TemplateModel, params, vsinis, use_vsini,
                    half_width, fast_interp=False):
     """Evaluate + broaden + spline-construct templates for T trials.
 
-    Returns (coeffs (T,n-1,4), outside (T,), crap (T,), finite (T,)).
+    Returns (coeffs (T,4,n-1), outside (T,), crap (T,), finite (T,)).
     With ``fast_interp`` the spline construction is skipped and raw
     (broadened) knot values (T, n) are returned instead.
     """
@@ -371,7 +372,7 @@ class FusedChisq:
     # ---------------- core batched computation ----------------
 
     def _template_stage(self, setup, params, vsinis):
-        """(T,ndim),(T,) -> spline coeffs (T,n-1,4), outside, crap, finite."""
+        """(T,ndim),(T,) -> spline coeffs (T,4,n-1), outside, crap, finite."""
         return template_stage(self.templates[setup], params, vsinis,
                               self.use_vsini, self._half_widths.get(setup),
                               self.fast_interp)

@@ -26,8 +26,56 @@ makes the TPU fast path match the float64 reference to ~1e-3 in chi2.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+# past this width the unrolled routines stop beating the LAPACK-style
+# custom call (op count grows as n^2)
+_UNROLL_MAX_N = 24
+
+
+def _cholesky_unrolled(m):
+    """Lower-Cholesky of small (..., n, n) SPD matrices, unrolled.
+
+    XLA lowers jnp.linalg.cholesky to a blocked custom call that costs
+    ~0.5 ms for a (500, 10, 10) batch on TPU (measured in the NM
+    objective trace) — 100x the arithmetic.  For the static n <= 24 of
+    the continuum basis, n columns of fused vector ops over the batch
+    do the same job in microseconds.  Failure semantics match
+    jnp.linalg.cholesky: non-PD inputs produce NaN/inf entries.
+    """
+    n = m.shape[-1]
+    rows = np.arange(n)
+    cols = []
+    for j in range(n):
+        v = m[..., :, j]
+        for k in range(j):
+            v = v - cols[k] * cols[k][..., j, None]
+        d = v[..., j]
+        ljj = jnp.sqrt(d)                  # NaN on non-PD, 0 -> inf/nan
+        col = jnp.where(jnp.asarray(rows >= j), v / ljj[..., None], 0.0)
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)
+
+
+def _cho_solve_unrolled(chol, v):
+    """Solve L L^T x = v given lower L, unrolled for small static n."""
+    n = chol.shape[-1]
+    ys = []
+    for j in range(n):
+        t = v[..., j]
+        for k in range(j):
+            t = t - chol[..., j, k] * ys[k]
+        ys.append(t / chol[..., j, j])
+    xs = [None] * n
+    for j in range(n - 1, -1, -1):
+        t = ys[j]
+        for i in range(j + 1, n):
+            t = t - chol[..., i, j] * xs[i]
+        xs[j] = t / chol[..., j, j]
+    return jnp.stack(xs, axis=-1)
 
 
 def chol_solve_logdet(m, v, ridge_rel=1e-10):
@@ -37,19 +85,28 @@ def chol_solve_logdet(m, v, ridge_rel=1e-10):
     (the analogue of the reference's Cholesky->SVD fallback).
     Batched: m (..., n, n), v (..., n) — the ridge retry is applied
     per instance.
+
+    The retry pass is elided when the relative ridge is below the
+    working dtype's epsilon (e.g. the 1e-10 default in float32): the
+    perturbed diagonal then rounds back to the original bit pattern,
+    so the second factorization is identical by construction.
     """
     n = m.shape[-1]
-    eye = jnp.eye(n, dtype=m.dtype)
-
-    chol1 = jnp.linalg.cholesky(m)
-    ok1 = jnp.isfinite(chol1).all(axis=(-2, -1))
-    scale = jnp.trace(m, axis1=-2, axis2=-1) / n
-    chol2 = jnp.linalg.cholesky(
-        m + (ridge_rel * scale)[..., None, None] * eye)
-    chol = jnp.where(ok1[..., None, None], chol1, chol2)
+    small = n <= _UNROLL_MAX_N
+    chol_fn = _cholesky_unrolled if small else jnp.linalg.cholesky
+    chol = chol_fn(m)
+    if ridge_rel > float(jnp.finfo(m.dtype).eps):
+        eye = jnp.eye(n, dtype=m.dtype)
+        ok1 = jnp.isfinite(chol).all(axis=(-2, -1))
+        scale = jnp.trace(m, axis1=-2, axis2=-1) / n
+        chol2 = chol_fn(m + (ridge_rel * scale)[..., None, None] * eye)
+        chol = jnp.where(ok1[..., None, None], chol, chol2)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-    a = jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
+    if small:
+        a = _cho_solve_unrolled(chol, v)
+    else:
+        a = jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
     return a, logdet
 
 

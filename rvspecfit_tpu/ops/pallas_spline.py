@@ -34,8 +34,9 @@ Two sharing modes:
   block index map points every row-group of a fiber at the same
   (1, 4, n_pad) block, so HBM holds one copy per fiber.
 
-Coefficients are carried in a transposed, padded (R, 4, n_pad) layout
-so the window slice is lane-contiguous.
+Coefficients are carried in a padded planes-first (R, 4, n_pad)
+layout so the window slice is lane-contiguous; ops/spline emits
+planes-first natively, so packing is a pad with no transposition.
 
 Numerics match ops/spline.spline_eval_index (the cancellation-free
 fractional-index form) to float rounding; golden-tested in
@@ -90,14 +91,16 @@ def window_size(idx0, tile=DEFAULT_TILE, margin=4):
 
 
 def pack_coeffs(coeffs, window):
-    """(..., n-1, 4) spline coefficients -> padded transposed
+    """(..., 4, n-1) planes-first spline coefficients -> padded
     (..., 4, n_pad) layout for the kernel (n_pad multiple of 128 and
-    >= n-1 + window so window slices never clip)."""
-    nm1 = coeffs.shape[-2]
+    >= n-1 + window so window slices never clip).  No transposition:
+    spline_coeffs emits planes-first natively, so packing is a pad
+    only (the old trailing-4 layout cost a full HBM transposition
+    copy per objective call)."""
+    nm1 = coeffs.shape[-1]
     n_pad = int(np.ceil((nm1 + window) / 128.0)) * 128
-    ct = jnp.swapaxes(coeffs, -1, -2)                # (..., 4, n-1)
-    pad = [(0, 0)] * (ct.ndim - 1) + [(0, n_pad - nm1)]
-    return jnp.pad(ct, pad)
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, n_pad - nm1)]
+    return jnp.pad(coeffs, pad)
 
 
 def _kernel(u_ref, coeffs_ref, out_ref, *, window, nm1, x0, step,
@@ -209,13 +212,33 @@ def _batched_eval_fn(window, nm1, x0, step, log_step, tile, interpret):
     """custom_vmap wrapper of _eval_packed: the fused likelihood vmaps
     the evaluation over the fiber axis, but Pallas cannot auto-batch
     the coefficient operand — instead the batch axis is flattened
-    into the kernel's row grid (rows are independent)."""
+    into the kernel's row grid (rows are independent).
+
+    Row/column padding lives in the PRIMAL, after any vmap axes have
+    been flattened into the row count: padding per-fiber before the
+    vmap rounded each fiber's K rows up to the sublane granularity
+    (K=4 -> 8), doubling the kernel's work across the exposure."""
 
     @jax.custom_batching.custom_vmap
     def run(packed, u):
-        return _eval_packed(packed, u, window=window, nm1=nm1, x0=x0,
-                            step=step, log_step=log_step, tile=tile,
-                            interpret=interpret)
+        rr, npix = u.shape
+        n_pad = packed.shape[-1]
+        rgran = _auto_rows(32 * ((rr + 31) // 32), n_pad,
+                           packed.dtype.itemsize) if rr >= 32 else ROWS
+        rpad = (-rr) % rgran
+        if rpad:
+            packed = jnp.concatenate(
+                [packed, jnp.broadcast_to(packed[-1:],
+                                          (rpad,) + packed.shape[1:])])
+            u = jnp.concatenate(
+                [u, jnp.broadcast_to(u[-1:], (rpad, npix))])
+        cpad = (-npix) % tile
+        if cpad:
+            u = jnp.pad(u, ((0, 0), (0, cpad)))
+        out = _eval_packed(packed, u, window=window, nm1=nm1, x0=x0,
+                           step=step, log_step=log_step, tile=tile,
+                           interpret=interpret)
+        return out[:rr, :npix]
 
     @run.def_vmap
     def _rule(axis_size, in_batched, packed, u):
@@ -270,39 +293,22 @@ def spline_eval_index_pallas(geom, coeffs, u, window, tile=DEFAULT_TILE,
     """Batched Doppler spline evaluation via the windowed kernel.
 
     geom : ops.spline.SplineGeometry
-    coeffs : (R, n-1, 4) per-row spline coefficients
+    coeffs : (R, 4, n-1) per-row planes-first spline coefficients
     u : (R, npix) fractional knot indices, monotonic per row
     window : static window size from :func:`window_size`
 
     Returns (vals (R, npix), inrange (R, npix)) — same contract as
-    ops.spline.spline_eval_index.
+    ops.spline.spline_eval_index.  Row/tile padding happens inside
+    the custom_vmap primal so a vmap over fibers pads the flattened
+    row total once, not each fiber's K rows separately.
     """
-    rr, npix = u.shape
-    nm1 = coeffs.shape[-2]
+    nm1 = coeffs.shape[-1]
     _check_geom(geom)
     packed = pack_coeffs(coeffs, window)
-    # pad the row count to the widest cell the VMEM budget allows so
-    # _auto_rows can cut the Mosaic cell count (per-cell overhead
-    # dominates at 8 rows/cell)
-    rgran = _auto_rows(32 * ((rr + 31) // 32), packed.shape[-1],
-                       packed.dtype.itemsize) if rr >= 32 else ROWS
-    rpad = (-rr) % rgran
-    if rpad:
-        packed = jnp.concatenate(
-            [packed, jnp.broadcast_to(packed[-1:],
-                                      (rpad,) + packed.shape[1:])])
-        u_in = jnp.concatenate(
-            [u, jnp.broadcast_to(u[-1:], (rpad, npix))])
-    else:
-        u_in = u
-    cpad = (-npix) % tile
-    if cpad:
-        u_in = jnp.pad(u_in, ((0, 0), (0, cpad)))
     run = _batched_eval_fn(window, nm1, float(geom.x0),
                            float(geom.step), bool(geom.log_step),
                            tile, interpret)
-    vals = run(packed, u_in)
-    vals = vals[:rr, :npix]
+    vals = run(packed, u)
     inrange = (u >= 0) & (u < nm1)
     return vals, inrange
 
@@ -311,7 +317,7 @@ def spline_eval_index_pallas_shared(geom, coeffs, u, window,
                                     tile=DEFAULT_TILE, interpret=False):
     """Velocity-scan evaluation: ONE spline, many query rows.
 
-    coeffs : (n-1, 4) single-template coefficients
+    coeffs : (4, n-1) single-template planes-first coefficients
     u : (V, npix) fractional indices (V query rows, e.g. velocities)
 
     Rows are padded to the sublane granularity internally; under vmap
@@ -320,7 +326,7 @@ def spline_eval_index_pallas_shared(geom, coeffs, u, window,
     (B*V, n, 4)).
     """
     v, npix = u.shape
-    nm1 = coeffs.shape[-2]
+    nm1 = coeffs.shape[-1]
     _check_geom(geom)
     vpad_n = (-v) % (32 if v >= 32 else ROWS)
     u_in = u if not vpad_n else jnp.concatenate(

@@ -210,10 +210,15 @@ def spline_coeffs(geom: SplineGeometry, ys):
 
     Returns
     -------
-    coeffs : (..., n-1, 4) array with per-interval (A, B, C, D) such
-        that on [x_i, x_{i+1}]:
+    coeffs : (..., 4, n-1) array, *planes-first*: per-interval
+        (A, B, C, D) planes such that on [x_i, x_{i+1}]:
         S(x) = A*dxl^3 + B*dxr^3 + C*dxl + D*dxr,
         dxl = x - x_i, dxr = x_{i+1} - x.
+        Planes-first is the canonical layout because the Pallas
+        Doppler kernel consumes lane-contiguous interval windows; a
+        trailing-4 layout forced a full transposition copy of every
+        coefficient batch per objective call (measured as the
+        dominant DMA traffic of the NM phase).
     """
     if geom.inv_kernel is not None:
         batch_shape = ys.shape[:-1]
@@ -227,13 +232,13 @@ def spline_coeffs(geom: SplineGeometry, ys):
         b_coef = z[:, :-1] * hinv * sixth
         c_coef = yb[:, 1:] * hinv - z[:, 1:] * h * sixth
         d_coef = yb[:, :-1] * hinv - z[:, :-1] * h * sixth
-        out = jnp.stack([a_coef, b_coef, c_coef, d_coef], axis=-1)
-        return out.reshape(batch_shape + (geom.n - 1, 4))
+        out = jnp.stack([a_coef, b_coef, c_coef, d_coef], axis=-2)
+        return out.reshape(batch_shape + (4, geom.n - 1))
 
     if ys.ndim > 1:
         return jax.vmap(lambda y: spline_coeffs(geom, y))(
             ys.reshape((-1, ys.shape[-1]))).reshape(
-                ys.shape[:-1] + (geom.n - 1, 4))
+                ys.shape[:-1] + (4, geom.n - 1))
 
     h, hinv = geom.h, geom.hinv
     slopes = (ys[1:] - ys[:-1]) * hinv                 # (n-1)
@@ -250,7 +255,7 @@ def spline_coeffs(geom: SplineGeometry, ys):
     b_coef = z[:-1] * hinv * sixth
     c_coef = ys[1:] * hinv - z[1:] * h * sixth
     d_coef = ys[:-1] * hinv - z[:-1] * h * sixth
-    return jnp.stack([a_coef, b_coef, c_coef, d_coef], axis=-1)
+    return jnp.stack([a_coef, b_coef, c_coef, d_coef], axis=-2)
 
 
 def _banded_inverse_solve(geom: SplineGeometry, yb):
@@ -287,8 +292,8 @@ def spline_eval(geom: SplineGeometry, coeffs, x):
     Parameters
     ----------
     geom : SplineGeometry
-    coeffs : (n-1, 4) from :func:`spline_coeffs` (single spline; use
-        vmap for batches).
+    coeffs : (4, n-1) planes-first from :func:`spline_coeffs` (single
+        spline; use vmap for batches).
     x : (...,) query points.
 
     Returns
@@ -316,9 +321,9 @@ def spline_eval(geom: SplineGeometry, coeffs, x):
         xr = xl + dt.type(geom.step)
     dxl = x - xl
     dxr = xr - x
-    cf = jnp.take(coeffs, idx, axis=0)        # (..., 4)
-    val = (cf[..., 0] * dxl * dxl * dxl + cf[..., 1] * dxr * dxr * dxr +
-           cf[..., 2] * dxl + cf[..., 3] * dxr)
+    cf = jnp.take(coeffs, idx, axis=1)        # (4, ...)
+    val = (cf[0] * dxl * dxl * dxl + cf[1] * dxr * dxr * dxr +
+           cf[2] * dxl + cf[3] * dxr)
     return val, inrange
 
 
@@ -354,9 +359,9 @@ def spline_eval_index(geom: SplineGeometry, coeffs, u):
     else:
         dxl = frac * step
         dxr = (1.0 - frac) * step
-    cf = jnp.take(coeffs, iidx, axis=0)
-    val = (cf[..., 0] * dxl * dxl * dxl + cf[..., 1] * dxr * dxr * dxr +
-           cf[..., 2] * dxl + cf[..., 3] * dxr)
+    cf = jnp.take(coeffs, iidx, axis=1)
+    val = (cf[0] * dxl * dxl * dxl + cf[1] * dxr * dxr * dxr +
+           cf[2] * dxl + cf[3] * dxr)
     return val, inrange
 
 

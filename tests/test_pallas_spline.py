@@ -18,7 +18,7 @@ def _setup(npix_t=1500, npix_d=700, log_step=True, rows=3, seed=0):
                                                 log_step=log_step)
     ys = jnp.asarray(
         1.0 + 0.1 * rng.randn(rows, npix_t).cumsum(axis=1) / 30.0)
-    coeffs = spline_mod.spline_coeffs(geom, ys)       # (R, n-1, 4)
+    coeffs = spline_mod.spline_coeffs(geom, ys)       # (R, 4, n-1)
 
     lam_d = np.linspace(4600.0, 5400.0, npix_d)
     idx0 = spline_mod.fractional_index(geom, lam_d)
