@@ -28,10 +28,14 @@ import time
 
 import numpy as np
 
+import os as _os
+
 NFIBERS = 500
 NPIX_ARM = 1024
-# compile-once tile size for the fiber axis (see BatchedFitter)
-MICROBATCH = 125
+# compile-once tile size for the fiber axis (see BatchedFitter);
+# larger tiles amortize per-call overhead much better (on-chip sweep:
+# a 500x4-trial objective call costs 28 us/trial vs 69 at 125x4)
+MICROBATCH = int(_os.environ.get('BENCH_MICROBATCH', '500'))
 BASELINE_FIBERS_PER_SEC = 100.0 / 60.0
 
 

@@ -97,13 +97,21 @@ def main():
                    for j in range(4)
                    if p[j] <= lo[j] + 1e-3 * (hi[j] - lo[j])
                    or p[j] >= hi[j] - 1e-3 * (hi[j] - lo[j])]
-        evals = np.linalg.eigvalsh(hs[i])
+        h_i = hs[i]
+        if not np.isfinite(h_i).all():
+            ev = 'non-finite Hessian entries'
+        else:
+            try:
+                evals = np.linalg.eigvalsh(h_i)
+                ev = (f'{np.format_float_scientific(evals[0], 2)}..'
+                      f'{np.format_float_scientific(evals[-1], 2)}')
+            except np.linalg.LinAlgError:
+                ev = 'eigvalsh did not converge'
         print(f'fiber {i}: params={np.round(p, 3)} '
               f'truth=({truth["teff"][i]:.0f},{truth["logg"][i]:.2f},'
               f'{truth["feh"][i]:.2f},{truth["alpha"][i]:.2f}) '
               f'vel={ref["best_vel"][i]:+.1f} '
-              f'eigvals={np.format_float_scientific(evals[0], 2)}..'
-              f'{np.format_float_scientific(evals[-1], 2)} '
+              f'eigvals={ev} '
               f'at_edge={at_edge}')
 
 
