@@ -186,26 +186,52 @@ def proc_weave(fnames, config, threadid=0, nthreads=1,
 
 
 def proc_many(file_groups, oprefix, config, threadid=0, nthreads=1,
-              options=None):
+              options=None, overwrite=True, status_fname=None):
     """Process file groups; write one output table per group
-    (reference: weave_fit.py:263-321)."""
+    (reference: weave_fit.py:263-321).  ``overwrite=False`` skips
+    groups whose output table already exists (reference
+    weave_fit.py:295-297); ``status_fname`` appends desi-style
+    per-file bookkeeping lines enabling restart."""
+    from rvspecfit_tpu.survey.desi import update_process_status_file
+
     os.makedirs(oprefix, exist_ok=True)
+    if status_fname:
+        update_process_status_file(status_fname, None, None, 0, 0,
+                                   start=True)
     for grp in file_groups:
         t0 = time.time()
+        base = os.path.basename(str(grp).split(',')[0]).replace(
+            '.fits', '')
+        ofname = os.path.join(oprefix, f'outtab_{base}_{threadid}.fits')
+        if (not overwrite) and os.path.exists(ofname):
+            logging.info('skipping, products already exist %s', grp)
+            if status_fname:
+                update_process_status_file(status_fname, ofname,
+                                           'SKIPPED', 0,
+                                           time.time() - t0)
+            continue
         try:
             out = proc_weave(grp, config, threadid=threadid,
                              nthreads=nthreads, options=options)
         except Exception:
             logging.exception('failed processing %s', grp)
+            if status_fname:
+                update_process_status_file(status_fname, ofname,
+                                           'FAILED', 0,
+                                           time.time() - t0)
             continue
         if out is None:
             logging.info('%s: no selected fibers', grp)
+            if status_fname:
+                update_process_status_file(status_fname, ofname,
+                                           'EMPTY', 0, time.time() - t0)
             continue
-        base = os.path.basename(str(grp).split(',')[0]).replace(
-            '.fits', '')
-        ofname = os.path.join(oprefix, f'outtab_{base}_{threadid}.fits')
         fitsio.write(ofname, [dict(kind='table', name='WEAVE_RV',
                                    data=list(out.items()))])
+        nobj = len(out['vrad'])
+        if status_fname:
+            update_process_status_file(status_fname, ofname, 'SUCCESS',
+                                       nobj, time.time() - t0)
         logging.info('%s -> %s (%.1f s)', grp, ofname, time.time() - t0)
 
 
@@ -213,22 +239,62 @@ def main(args=None):
     if args is None:
         args = sys.argv[1:]
     parser = argparse.ArgumentParser(description='Fit WEAVE spectra')
-    parser.add_argument('input_files', nargs='+',
+    parser.add_argument('input_files', nargs='*',
                         help='comma-separated red,blue file groups')
+    parser.add_argument('--input_file_mask', type=str, default=None,
+                        help='glob mask of input files '
+                        '(reference weave_fit.py:340-343)')
+    parser.add_argument('--input_file', type=str, default=None,
+                        help='file with one input group per line '
+                        '(reference weave_fit.py:344-348)')
     parser.add_argument('--oprefix', type=str, default='outputs/')
     parser.add_argument('--config', type=str, default=None)
     parser.add_argument('--templ_lib', type=str, default=None)
     parser.add_argument('--nthreads', type=int, default=1)
     parser.add_argument('--threadid', type=int, default=0)
     parser.add_argument('--npoly', type=int, default=15)
+    parser.add_argument('--overwrite', action='store_true',
+                        default=False,
+                        help='overwrite existing products; otherwise '
+                        'they are skipped (reference '
+                        'weave_fit.py:370-373)')
+    parser.add_argument('--process_status_file', type=str, default=None,
+                        help='per-file processing log enabling '
+                        'restart; %%d expands to the thread id')
+    parser.add_argument('--log', type=str, default=None)
+    parser.add_argument('--log_level', type=str, default='WARNING')
     args = parser.parse_args(args)
+
+    log_fname = args.log
+    if log_fname is not None and '%d' in log_fname:
+        log_fname = log_fname % args.threadid
+    logging.basicConfig(
+        filename=log_fname,
+        level=getattr(logging, args.log_level.upper(), logging.WARNING))
+
+    files = list(args.input_files)
+    if args.input_file_mask is not None:
+        import glob
+        files.extend(sorted(glob.glob(args.input_file_mask)))
+    if args.input_file is not None:
+        with open(args.input_file) as fp:
+            files.extend(ln.strip() for ln in fp if ln.strip())
+    if not files:
+        parser.error('no input files: pass groups, --input_file_mask '
+                     'or --input_file')
+
+    status_fname = args.process_status_file
+    if status_fname is not None and '%d' in status_fname:
+        status_fname = status_fname % args.threadid
+
     override = {}
     if args.templ_lib:
         override['template_lib'] = args.templ_lib
     config = utils.read_config(args.config, override)
-    proc_many(args.input_files, args.oprefix, config,
+    proc_many(files, args.oprefix, config,
               threadid=args.threadid, nthreads=args.nthreads,
-              options={'npoly': args.npoly})
+              options={'npoly': args.npoly}, overwrite=args.overwrite,
+              status_fname=status_fname)
 
 
 if __name__ == '__main__':

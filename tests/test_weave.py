@@ -104,3 +104,19 @@ def test_weave_fit(weave_setup, tmp_path):
             max(10, 5 * tab['vrad_err'][i]), f'fiber {i}'
     assert set(np.char.strip(tab['target_id'].astype(str))) == \
         {f'star_{i}' for i in range(NFIB)}
+
+    # second run without --overwrite skips the existing product and
+    # records it in the status file (reference weave_fit.py:295-297)
+    status = str(tmp_path / 'status_%d.txt')
+    weave.main([','.join(fnames), '--oprefix', outdir,
+                '--templ_lib', lib, '--npoly', '8',
+                '--process_status_file', status])
+    lines = open(str(tmp_path / 'status_0.txt')).read().split('\n')
+    assert 'SKIPPED' in lines[0]
+
+    # --overwrite reprocesses and reports SUCCESS with the fiber count
+    weave.main([','.join(fnames), '--oprefix', outdir,
+                '--templ_lib', lib, '--npoly', '8', '--overwrite',
+                '--process_status_file', status])
+    lines = open(str(tmp_path / 'status_0.txt')).read().split('\n')
+    assert 'SUCCESS' in lines[0] and f' {NFIB} ' in lines[0]
