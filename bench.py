@@ -110,7 +110,7 @@ def main():
             cres = ccf_mod.fit_batch(
                 [(a.name, a.lam, a.flux,
                   1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), None)
-                 for a in arms], config, banks=banks, microbatch=125)
+                 for a in arms], config, banks=banks)
         start_params = cres['best_params']
         start_vel = cres['best_vel']
         t.append(time.time())
@@ -142,7 +142,7 @@ def main():
     bf = BatchedFitter(arms, templates, config, options={'npoly': 10},
                        microbatch=MICROBATCH)
     t0 = time.time()
-    pipeline(bf)
+    pipeline(bf, verbose=True)
     log(f'warm-up (incl. compile): {time.time() - t0:.1f} s')
 
     profile_dir = os.environ.get('RVST_PROFILE')

@@ -243,7 +243,7 @@ def prepare_arm_batch(setup, lam, fluxes, especs, badmask, config,
                 continuum=bool(ccfconf['continuum']))
 
 
-def fit_batch(arm_batches, config, banks=None, microbatch=64):
+def fit_batch(arm_batches, config, banks=None, microbatch=None):
     """Fiber-batched CCF over a whole stacked exposure.
 
     The TPU-native replacement for the reference's per-fiber CCF
@@ -260,7 +260,11 @@ def fit_batch(arm_batches, config, banks=None, microbatch=64):
     banks : optional {setup: (tfft, t2fft, info)} in-memory template
         banks (bypasses the on-disk library; used by bench/synthetic
         runs)
-    microbatch : fiber tile size per device program (memory bound)
+    microbatch : fiber tile size per device program; None (default)
+        sizes the tile so the (tile, T, F) correlation intermediates
+        stay under ~2 GB of HBM — every dispatched tile pays tens of
+        milliseconds of round-trip latency on remote TPU runtimes, so
+        the tile should be as large as memory allows
 
     Returns
     -------
@@ -282,6 +286,13 @@ def fit_batch(arm_batches, config, banks=None, microbatch=64):
     vel_grid = prep[0]['vel_grid']
     vel_grid_d = jnp.asarray(vel_grid)
     total_sse = np.sum([p['sse'] for p in prep], axis=0)   # (B,)
+
+    if microbatch is None:
+        ntempl = prep[0]['tfft'].shape[1]
+        nfreq = prep[0]['tfft'].shape[2]
+        budget = 2e9  # bytes for the two (tile, T, F) f32 intermediates
+        microbatch = int(budget / (max(ntempl * nfreq, 1) * 8))
+        microbatch = int(np.clip(microbatch, 32, max(nf, 32)))
 
     best_id = np.zeros(nf, dtype=np.int64)
     best_vel = np.zeros(nf)
