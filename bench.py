@@ -142,8 +142,27 @@ def main():
     bf = BatchedFitter(arms, templates, config, options={'npoly': 10},
                        microbatch=MICROBATCH)
     t0 = time.time()
+    # threaded program warm-up: every phase's first execution pays a
+    # large server-side compile/ingest cost on remote TPU backends;
+    # warming them concurrently overlaps those waits (measured 147 s
+    # threaded vs 517 s sequential at B=500)
+    import threading
+
+    def warm_ccf():
+        with np.errstate(divide='ignore'):
+            ccf_mod.fit_batch(
+                [(a.name, a.lam, a.flux,
+                  1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), None)
+                 for a in arms], config, banks=banks)
+
+    ccf_thread = threading.Thread(target=warm_ccf, daemon=True)
+    ccf_thread.start()
+    bf.warm(mapper, skip=('models',))  # bench pipeline writes no RVMOD
+    ccf_thread.join()
+    log(f'threaded program warm-up: {time.time() - t0:.1f} s')
+    t0 = time.time()
     pipeline(bf, verbose=True)
-    log(f'warm-up (incl. compile): {time.time() - t0:.1f} s')
+    log(f'warm-up pipeline pass: {time.time() - t0:.1f} s')
 
     profile_dir = os.environ.get('RVST_PROFILE')
     if profile_dir:

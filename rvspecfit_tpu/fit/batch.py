@@ -286,6 +286,67 @@ class BatchedFitter:
                 pallas_window=arm.pallas_window))
         return out
 
+    def update_arms(self, arms):
+        """Swap in a new exposure's fiber data, KEEPING every compiled
+        program.
+
+        All jitted programs take the ArmState pytrees as traced
+        arguments, so replacing only the fiber-axis leaves (data
+        vector, inverse errors, resolution bands) reuses the whole
+        program cache.  This is what makes multi-file survey runs pay
+        the compile/executable-ingest cost once per process instead
+        of once per file — on remote-compile TPU backends that cost
+        is minutes per file (the reference's per-process model reuses
+        its numba/C kernels across files the same way).
+
+        The new arms must match the fitter's static signature: same
+        arm count/order, setups, wavelength grids, and resolution-band
+        structure.  The fiber count may differ (tile padding absorbs
+        it when ``microbatch`` is set).
+        """
+        import dataclasses as _dc
+        arms = list(arms)
+        if len(arms) != len(self.batch_arms):
+            raise ValueError('arm count mismatch')
+        for a, old, cur in zip(arms, self.batch_arms, self.arms):
+            if a.setup != cur.setup or a.name != cur.name:
+                raise ValueError(f'arm identity mismatch: {a.name}')
+            if not np.array_equal(a.lam, old.lam):
+                raise ValueError(f'wavelength grid mismatch: {a.name}')
+            if (a.resolution is None) != (cur.band is None):
+                raise ValueError(f'resolution presence mismatch: '
+                                 f'{a.name}')
+            if a.resolution is not None and \
+                    np.asarray(a.resolution).shape[1] \
+                    != cur.band.bands.shape[1]:
+                raise ValueError(f'resolution band width mismatch: '
+                                 f'{a.name}')
+        cast = lambda x: np.asarray(x, dtype=np.dtype(self.dtype))
+        host = []
+        for a in arms:
+            esp = a.espec()
+            flux = np.where(np.isfinite(a.flux), a.flux, 0.0)
+            host.append(dict(
+                dvec=cast(flux / esp), espec_inv=cast(1.0 / esp),
+                log_espec_sum=cast(np.log(esp).sum(axis=1)),
+                band=None if a.resolution is None else
+                cast(np.asarray(a.resolution))))
+        dev = jax.device_put(host)
+        new_states = []
+        for d, cur in zip(dev, self.arms):
+            band = cur.band
+            if d['band'] is not None:
+                band = BandedMatrix(cur.band.offsets, d['band'])
+            new_states.append(_dc.replace(
+                cur, dvec=d['dvec'], espec_inv=d['espec_inv'],
+                log_espec_sum=d['log_espec_sum'], band=band))
+        self.arms = new_states
+        self.batch_arms = arms
+        self.nfibers = arms[0].nfibers
+        for attr in ('_arms_ad', '_arm_axes_ad'):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
     @property
     def arms_ad(self):
         """ArmStates with the Pallas spline kernel disabled — for the
@@ -463,6 +524,152 @@ class BatchedFitter:
                 pallas_window=arm.pallas_window))
         return out
 
+    @staticmethod
+    def _priors_key(priors):
+        return None if priors is None else tuple(
+            sorted((k, tuple(v)) for k, v in priors.items()))
+
+    def _nm_objective(self, mapper, priors):
+        key = (mapper.cache_key(), self._priors_key(priors))
+        objective = self._objective_cache.get(key)
+        if objective is None:
+            objective = self._make_objective(mapper, priors)
+            self._objective_cache[key] = objective
+        return objective
+
+    def nm_xatol(self, mapper):
+        """Default scale-normalized NM tolerance (see run_neldermead)."""
+        return tuple(mapper.scales().astype(np.float64) * 0.08)
+
+    def _nm_programs(self, mapper, priors, fatol, xatol, chunk):
+        """Jitted (init, chunk) NM programs returning ONE packed array
+        [simplex | fvals | done] — a single fetch per tile per round
+        (device->host round-trips pay O(0.1 s) latency on remote TPU
+        tunnels, so three fetches per tile would dominate).  Cached per
+        (mapper, priors, tolerances, chunk); each tile WIDTH compiles
+        on first use under the same callables."""
+        xatol_key = tuple(np.atleast_1d(np.asarray(
+            xatol, np.float64)).tolist())
+        pkey = ('nm_packed', mapper.cache_key(),
+                self._priors_key(priors),
+                fatol, xatol_key, chunk)
+        fns = self._objective_cache.get(pkey)
+        if fns is None:
+            objective = self._nm_objective(mapper, priors)
+            init_raw, chunk_raw = nm.make_stepper(objective, fatol=fatol,
+                                                  xatol=xatol, chunk=chunk)
+
+            def pack(s, f, d):
+                bb = s.shape[0]
+                return jnp.concatenate(
+                    [s.reshape(bb, -1), f, d[:, None].astype(s.dtype)],
+                    axis=1)
+
+            init_p = jax.jit(lambda s, arms, templ: pack(
+                *init_raw(s, arms, templ)[:3]))
+            chunk_p = jax.jit(lambda s, f, d, arms, templ: pack(
+                *chunk_raw(s, f, d, arms, templ)[:3]))
+            fns = (init_p, chunk_p)
+            self._objective_cache[pkey] = fns
+        return fns
+
+    def warm(self, mapper, priors=None, steps=3, fatol=5e-2, xatol=None,
+             nm_chunk=64, widths=None, skip=()):
+        """Warm every pipeline program CONCURRENTLY (threaded).
+
+        On remote-compile TPU backends each program's first execution
+        pays a large server-side compile/executable-ingest cost even
+        when the persistent compilation cache hits (measured: 470 s
+        warm-up with 0 cache writes).  Tracing holds the GIL but the
+        server wait does not, so warming each phase from its own
+        thread overlaps the ingests: measured 147 s threaded vs 517 s
+        sequential for the five production phases at B=500.
+
+        Dispatches dummy inputs of the production tile shapes through
+        the NM init/chunk programs (every ladder width), the gradient
+        polish, the velocity refinement, and the AD Hessian; results
+        are discarded.  Returns {phase: seconds}.
+        """
+        import threading
+        import time as _time
+
+        b = self.nfibers
+        mb = self.microbatch or b
+        if xatol is None:
+            xatol = self.nm_xatol(mapper)
+        if widths is None:
+            widths = sorted({mb} | {w for w in (mb // 2, mb // 4)
+                                    if w >= 32}, reverse=True)
+        init_p, chunk_p = self._nm_programs(mapper, priors, fatol,
+                                            xatol, nm_chunk)
+        scales = mapper.scales().astype(np.float64)
+        nvec = len(mapper.start_vector(0.0))
+        np1 = nvec + 1
+        dt = self.dtype
+        x_dummy = np.tile(mapper.start_vector(0.0), (b, 1))
+        vel_dummy = np.zeros(b)
+        params_dummy = np.tile(mapper.unpack_host(x_dummy[:1])[1][0],
+                               (b, 1))
+
+        def w_nm(w):
+            def go():
+                idx = np.arange(w) % b
+                simplex = np.array(nm.build_simplex(
+                    jnp.asarray(x_dummy[idx]), scales,
+                    seed=vf.SIMPLEX_SEED), np.float64)
+                arms_w = self._gather_arms(idx)
+                packed = init_p(jnp.asarray(simplex, dt), arms_w,
+                                self.templates)
+                np.asarray(packed)
+                packed = chunk_p(jnp.asarray(simplex, dt),
+                                 jnp.zeros((w, np1), dt),
+                                 jnp.zeros(w, bool), arms_w,
+                                 self.templates)
+                np.asarray(packed)
+            return go
+
+        def w_polish():
+            self.run_polish(mapper, x_dummy, priors=priors, steps=steps)
+
+        def w_refine():
+            self.refine_velocities(vel_dummy, params_dummy)
+
+        def w_hessian():
+            self.hessian_errors(vel_dummy, params_dummy,
+                                parnames=list(mapper.specParams))
+
+        def w_models():
+            self.best_models(vel_dummy, params_dummy)
+
+        phases = [(f'nm_w{w}', w_nm(w)) for w in widths]
+        phases += [('polish', w_polish), ('refine', w_refine),
+                   ('hessian', w_hessian), ('models', w_models)]
+        phases = [(n, f) for n, f in phases if n not in skip
+                  and n.split('_')[0] not in skip]
+        times = {}
+
+        def runner(name, fn):
+            t0 = _time.time()
+            try:
+                fn()
+            except Exception:
+                logging.exception('pipeline warm-up phase %s failed',
+                                  name)
+            times[name] = _time.time() - t0
+
+        threads = [threading.Thread(target=runner, args=p, daemon=True)
+                   for p in phases]
+        t0 = _time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        times['wall'] = _time.time() - t0
+        logging.info('threaded pipeline warm-up: %s',
+                     ' '.join(f'{k}={v:.1f}s' for k, v in times.items()))
+        self._warmed = True
+        return times
+
     def run_neldermead(self, mapper, best_vel0, priors=None, maxrestart=2,
                        fatol=5e-2, xatol=None, maxiter=384, x0=None,
                        nm_chunk=64):
@@ -485,12 +692,6 @@ class BatchedFitter:
             (e.g. per-fiber CCF guesses).
         Returns dict with x (B, nvec), fun, converged.
         """
-        key = (id(mapper), None if priors is None else
-               tuple(sorted((k, tuple(v)) for k, v in priors.items())))
-        objective = self._objective_cache.get(key)
-        if objective is None:
-            objective = self._make_objective(mapper, priors)
-            self._objective_cache[key] = objective
         if x0 is None:
             x0 = np.tile(mapper.start_vector(0.0), (self.nfibers, 1))
             x0[:, 0] = np.asarray(best_vel0)
@@ -515,30 +716,8 @@ class BatchedFitter:
         chunk = int(nm_chunk or min(64, maxiter))
         mb = self.microbatch or b
         dt = self.dtype
-
-        # jitted init/chunk programs returning ONE packed array
-        # [simplex | fvals | done] — a single fetch per tile per round
-        # (device->host round-trips pay O(0.1 s) latency on remote
-        # TPU tunnels, so three fetches per tile would dominate)
-        pkey = ('nm_packed', key, fatol, xatol, chunk)
-        fns = self._objective_cache.get(pkey)
-        if fns is None:
-            init_raw, chunk_raw = nm.make_stepper(objective, fatol=fatol,
-                                                  xatol=xatol, chunk=chunk)
-
-            def pack(s, f, d):
-                bb = s.shape[0]
-                return jnp.concatenate(
-                    [s.reshape(bb, -1), f, d[:, None].astype(s.dtype)],
-                    axis=1)
-
-            init_p = jax.jit(lambda s, arms, templ: pack(
-                *init_raw(s, arms, templ)[:3]))
-            chunk_p = jax.jit(lambda s, f, d, arms, templ: pack(
-                *chunk_raw(s, f, d, arms, templ)[:3]))
-            fns = (init_p, chunk_p)
-            self._objective_cache[pkey] = fns
-        init_p, chunk_p = fns
+        init_p, chunk_p = self._nm_programs(mapper, priors, fatol,
+                                            xatol, chunk)
 
         simplex_h = np.array(
             nm.build_simplex(jnp.asarray(x0), scales, seed=vf.SIMPLEX_SEED),
@@ -546,11 +725,31 @@ class BatchedFitter:
         fvals_h = np.zeros((b, np1))
         done_h = np.zeros(b, bool)
 
+        # tile-width ladder: straggler rounds run through NARROW
+        # programs instead of the full-width tile.  Late rounds have
+        # few unconverged fibers (measured trajectory at B=500:
+        # 500 -> 427 -> 145 -> 30 -> 4), so padding them to the full
+        # microbatch wastes most of the device work; a width-mb//2 or
+        # -mb//4 program costs proportionally less.  jax.jit compiles
+        # each width on first use (bounded: at most 3 widths).
+        ladder = sorted({mb} | {w for w in (mb // 2, mb // 4)
+                                if w >= 32}, reverse=True)
+
         def tiles_of(idx):
-            for lo in range(0, idx.size, mb):
-                sel = idx[lo:lo + mb]
-                sel_p = sel if sel.size == mb else np.concatenate(
-                    [sel, np.repeat(sel[-1:], mb - sel.size)])
+            u = idx.size
+            w, best_cost = mb, None
+            for cand in ladder:
+                ntiles = -(-u // cand)
+                # padded fiber-iterations + a dispatch-latency penalty
+                # per extra tile (device round-trips cost ~0.1 s on
+                # remote TPU tunnels)
+                cost = ntiles * cand + 0.25 * mb * (ntiles - 1)
+                if best_cost is None or cost < best_cost:
+                    best_cost, w = cost, cand
+            for lo in range(0, u, w):
+                sel = idx[lo:lo + w]
+                sel_p = sel if sel.size == w else np.concatenate(
+                    [sel, np.repeat(sel[-1:], w - sel.size)])
                 yield sel, sel_p
 
         def unpack_to_host(sel, packed):
@@ -561,10 +760,15 @@ class BatchedFitter:
             done_h[sel] = p[:, -1] > 0.5
 
         def eval_init(idx):
-            for sel, sel_p in tiles_of(idx):
-                unpack_to_host(sel, init_p(
-                    jnp.asarray(simplex_h[sel_p], dt),
-                    self._gather_arms(sel_p), self.templates))
+            # dispatch every tile first (async), then fetch: tiles of
+            # one round are independent, so their device programs
+            # overlap and only one round-trip latency is paid
+            outs = [(sel, init_p(jnp.asarray(simplex_h[sel_p], dt),
+                                 self._gather_arms(sel_p),
+                                 self.templates))
+                    for sel, sel_p in tiles_of(idx)]
+            for sel, packed in outs:
+                unpack_to_host(sel, packed)
 
         eval_init(np.arange(b))
         for restart in range(maxrestart):
@@ -585,12 +789,14 @@ class BatchedFitter:
                     break
                 logging.info('NM restart %d nit %d: %d/%d unconverged',
                               restart, nit, undone.size, b)
-                for sel, sel_p in tiles_of(undone):
-                    unpack_to_host(sel, chunk_p(
-                        jnp.asarray(simplex_h[sel_p], dt),
-                        jnp.asarray(fvals_h[sel_p], dt),
-                        jnp.asarray(done_h[sel_p]),
-                        self._gather_arms(sel_p), self.templates))
+                outs = [(sel, chunk_p(
+                    jnp.asarray(simplex_h[sel_p], dt),
+                    jnp.asarray(fvals_h[sel_p], dt),
+                    jnp.asarray(done_h[sel_p]),
+                    self._gather_arms(sel_p), self.templates))
+                    for sel, sel_p in tiles_of(undone)]
+                for sel, packed in outs:
+                    unpack_to_host(sel, packed)
                 nit += chunk
 
         rows = np.arange(b)
@@ -622,7 +828,7 @@ class BatchedFitter:
         x : (B, nvec) NM optima; fun0 : optional (B,) NM best values.
         Returns dict with x (B, nvec), fun (B,), moved (B,).
         """
-        key = ('polish', id(mapper), steps,
+        key = ('polish', mapper.cache_key(), steps,
                None if priors is None else
                tuple(sorted((k, tuple(v)) for k, v in priors.items())))
         fn = self._objective_cache.get(key)

@@ -77,6 +77,28 @@ class ParamMapper:
     def nvec(self):
         return 1 + int(self.fitVsini) + len(self.free_names)
 
+    def cache_key(self):
+        """Content key for compiled-program caches.
+
+        Two mappers with equal keys produce identical ``unpack``
+        traces (and hence identical jitted objectives), so programs
+        built for one can serve the other.  ``paramDict0`` enters the
+        trace only through the FIXED parameters — the free-parameter
+        starting values are runtime data — so only those are keyed;
+        this is what lets a multi-file survey run reuse one program
+        set even though each file builds a fresh mapper with its own
+        mean starting point.
+        """
+        vs = None
+        if self.vsiniMapper is not None:
+            vs = (float(self.vsiniMapper.min_vsini),
+                  float(self.vsiniMapper.max_vsini))
+        fixed_vals = tuple(
+            (p, float(self.paramDict0[p])) for p in self.fixParam
+            if p in self.paramDict0)
+        return (self.specParams, self.fixParam, fixed_vals, vs,
+                self.fitVsini)
+
     def get_fitted_params(self):
         out = ['vel']
         if self.fitVsini:

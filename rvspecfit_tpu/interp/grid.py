@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from rvspecfit_tpu.ops.prec import matmul_precision
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -158,7 +160,7 @@ def interp_batch(state: GridInterpState, params):
     q = p_safe * state.ptp_inv[None, :]                    # (nt, ndim)
     d2 = (jnp.sum(q * q, axis=1)[:, None]
           - 2.0 * jnp.dot(q, state.vecs_scaled.T,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=matmul_precision('interp'))
           + jnp.sum(state.vecs_scaled * state.vecs_scaled, axis=1)[None, :])
     nearest = jnp.argmin(d2, axis=1)
     nn_dist = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
@@ -186,7 +188,7 @@ def interp_batch(state: GridInterpState, params):
         wmat = wmat + (1.0 - w_ok)[:, None] * (
             fallback_id[:, None] == spec_ids).astype(state.dats.dtype)
         spec = jnp.dot(wmat, state.dats,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=matmul_precision('interp'))
     else:
         acc = jnp.zeros((nt, state.npix), dtype=state.dats.dtype)
         for cid, w in zip(ids, weights):

@@ -72,7 +72,8 @@ def _activation(name):
 
 def forward(state: NNState, params_mapped):
     """(T, ndim) mapped params -> (T, npix) raw network output."""
-    hp = jax.lax.Precision.HIGHEST
+    from rvspecfit_tpu.ops.prec import matmul_precision
+    hp = matmul_precision('interp')
     x = (params_mapped - state.mean) / state.std
     act = _activation(state.nonlinearity)
     h = x

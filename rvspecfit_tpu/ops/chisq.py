@@ -143,7 +143,8 @@ def chisq_continuum_marg_batch(dvec, templ_over_espec, polys, polys_prod,
     """
     dt = templ_over_espec.dtype
     npoly = polys.shape[0]
-    hp = jax.lax.Precision.HIGHEST
+    from rvspecfit_tpu.ops.prec import matmul_precision
+    hp = matmul_precision('chisq')
     scale = jnp.max(jnp.abs(templ_over_espec), axis=-1, keepdims=True)
     scale = jnp.maximum(scale, jnp.finfo(dt).tiny)
     tnorm = templ_over_espec / scale                       # (T, npix)
@@ -211,7 +212,8 @@ def chisq_continuum_marg(dvec, templ_over_espec, polys, log_espec_sum,
     # HIGHEST matmul precision: TPU MXU defaults to bfloat16 inputs,
     # which injects O(1e-3) relative noise into the normal matrix and
     # O(10) absolute noise into chi^2 — fatal for velocity refinement
-    hp = jax.lax.Precision.HIGHEST
+    from rvspecfit_tpu.ops.prec import matmul_precision
+    hp = matmul_precision('chisq')
     m = jnp.dot(st, st.T, preferred_element_type=dt, precision=hp)
     v = jnp.dot(st, dvec, preferred_element_type=dt, precision=hp)
 

@@ -149,11 +149,14 @@ def _kernel(u_ref, coeffs_ref, out_ref, *, window, nm1, x0, step,
     # one-hot gather on the MXU, batched over rows:
     # (ROWS, 4, W) x (ROWS, W, TILE) -> (ROWS, 4, TILE)
     onehot = (cols == lidx[:, None, :]).astype(dt)
-    # HIGHEST precision: the default MXU f32 path multiplies in
-    # bf16 passes, corrupting the gathered coefficients (~4e-3)
+    # >= HIGH precision: the single-pass MXU f32 path multiplies in
+    # bf16, corrupting the gathered coefficients (~4e-3); bf16x3
+    # (HIGH) recovers near-f32 exactness since the one-hot factor is
+    # exactly representable
+    from rvspecfit_tpu.ops.prec import matmul_precision
     cf = jax.lax.dot_general(
         wins, onehot, (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=matmul_precision('chisq'),
         preferred_element_type=dt)
     out_ref[:, :] = (cf[:, 0] * dxl * dxl * dxl
                      + cf[:, 1] * dxr * dxr * dxr

@@ -278,7 +278,8 @@ def _banded_inverse_solve(geom: SplineGeometry, yb):
         window_strides=(1,), padding=[(w_band, w_band)],
         dimension_numbers=('NCH', 'OIH', 'NCH'))[:, 0, :]
     e_rows, wtop = geom.inv_top.shape
-    hp = jax.lax.Precision.HIGHEST
+    from rvspecfit_tpu.ops.prec import matmul_precision
+    hp = matmul_precision('chisq')
     top_fix = jnp.dot(up[:, :wtop], geom.inv_top.T, precision=hp)
     bot_fix = jnp.dot(up[:, m2 - wtop:], geom.inv_bot.T, precision=hp)
     z = z.at[:, :e_rows].add(top_fix)

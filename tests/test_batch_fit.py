@@ -113,3 +113,56 @@ def test_badmask_and_nonfinite_handling(tm, fiber_data):
     chis = np.asarray(bf.chisq(
         jnp.zeros((NFIB, 1)), jnp.asarray(np.tile(par, (NFIB, 1, 1)))))
     assert np.isfinite(chis).all()
+
+
+@pytest.mark.slow
+def test_threaded_warm_then_fit(tm, fiber_data):
+    """warm() pre-compiles every pipeline program concurrently and a
+    subsequent fit reuses them (no behavior change)."""
+    lam, flux, ivar, v0s, truths = fiber_data
+    arm = BatchArm('config1', lam, flux, ivar)
+    bf = BatchedFitter([arm], {'config1': tm}, CONFIG,
+                       options={'npoly': 10})
+    mapper = vel_fit.ParamMapper(
+        tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
+        [], None, False)
+    times = bf.warm(mapper, steps=2)
+    assert 'wall' in times and times['wall'] >= 0
+    assert any(k.startswith('nm_w') for k in times)
+    # the warmed programs serve a real fit
+    nmres = bf.run_neldermead(mapper, np.asarray(v0s), maxiter=64,
+                              maxrestart=1)
+    pol = bf.run_polish(mapper, nmres['x'], fun0=nmres['fun'], steps=2)
+    assert np.all(pol['fun'] <= nmres['fun'] + 1e-9)
+
+
+def test_update_arms_reuses_programs(tm, fiber_data):
+    """update_arms swaps fiber data without rebuilding programs and
+    matches a freshly-built fitter bit-for-bit."""
+    lam, flux, ivar, v0s, truths = fiber_data
+    arm_a = BatchArm('config1', lam, flux, ivar)
+    bf = BatchedFitter([arm_a], {'config1': tm}, CONFIG,
+                       options={'npoly': 10})
+    vels = np.tile(np.linspace(-500, 500, 9), (NFIB, 1))
+    par = np.tile([6000.0, 3.0, -1.0, 0.5], (NFIB, 9, 1))
+    np.asarray(bf.chisq(jnp.asarray(vels), jnp.asarray(par)))
+    nprog = len(bf._objective_cache)
+
+    # second "file": same grids, different fluxes/errors (rolled)
+    flux_b = np.roll(flux, 2, axis=0) * 1.1
+    ivar_b = np.roll(ivar, 2, axis=0) * 0.8
+    arm_b = BatchArm('config1', lam, flux_b, ivar_b)
+    bf.update_arms([arm_b])
+    chis_upd = np.asarray(bf.chisq(jnp.asarray(vels), jnp.asarray(par)))
+    assert len(bf._objective_cache) == nprog
+
+    bf_fresh = BatchedFitter([arm_b], {'config1': tm}, CONFIG,
+                             options={'npoly': 10})
+    chis_fresh = np.asarray(bf_fresh.chisq(jnp.asarray(vels),
+                                           jnp.asarray(par)))
+    np.testing.assert_array_equal(chis_upd, chis_fresh)
+
+    # incompatible data is rejected
+    with pytest.raises(ValueError):
+        bf.update_arms([BatchArm('config1', lam[:-1], flux[:, :-1],
+                                 ivar[:, :-1])])
