@@ -236,16 +236,62 @@ def fiberstatus_select(fibermap):
     return (col & good) == col
 
 
+# Main-survey DESI_TARGET bit names (public DESI data model /
+# desitarget targetmask.yaml).  The reference decodes these through
+# the desitarget package (reference: desi_fit.py:495-522
+# filter_fibermap via DT.main_cmx_or_sv); that package is not a
+# dependency here, so the main-survey table is embedded.  Regex
+# selection (--objtypes 'MWS_.*,STD_.*') matches against these names;
+# --objtype_mask remains the explicit escape hatch for SV/CMX bits.
+DESI_TARGET_BITS = {
+    'LRG': 0, 'ELG': 1, 'QSO': 2, 'LRG_1PASS': 3, 'LRG_2PASS': 4,
+    'ELG_LOP': 5, 'ELG_HIP': 6, 'ELG_VLO': 7,
+    'SKY': 32, 'STD_FAINT': 33, 'STD_WD': 34, 'STD_BRIGHT': 35,
+    'BAD_SKY': 36, 'SUPP_SKY': 37,
+    'NO_TARGET': 57, 'BRIGHT_OBJECT': 58, 'IN_BRIGHT_OBJECT': 59,
+    'BGS_ANY': 60, 'MWS_ANY': 61, 'SCND_ANY': 62,
+}
+
+
+def objtypes_to_mask(objtypes):
+    """Translate object-type regexes into a DESI_TARGET bitmask.
+
+    Equivalent of the reference's filter_fibermap name matching
+    (reference: desi_fit.py:495-522) against the embedded main-survey
+    name table.  Raises if no name matches (a typo would otherwise
+    silently select nothing).
+    """
+    import re
+    res = [re.compile(o) for o in objtypes]
+    mask = 0
+    matched = []
+    for name, bit in DESI_TARGET_BITS.items():
+        if any(r.match(name) for r in res):
+            mask |= (1 << bit)
+            matched.append(name)
+    if not mask:
+        raise ValueError(
+            f'no DESI_TARGET names match objtypes {objtypes}; '
+            f'known names: {sorted(DESI_TARGET_BITS)}')
+    logging.info('objtypes %s -> DESI_TARGET names %s (mask 0x%x)',
+                 objtypes, matched, mask)
+    return mask
+
+
 def select_fibers_to_fit(fibermap, sns, minsn=None, fit_targetid=None,
                          expid_range=None, zbest_path=None,
-                         zbest_select=False, objtype_mask=None):
-    """Fiber selection (reference: desi_fit.py:546-679, simplified:
-    explicit DESI_TARGET bitmask instead of desitarget decoding)."""
+                         zbest_select=False, objtype_mask=None,
+                         objtypes=None):
+    """Fiber selection (reference: desi_fit.py:546-679; desitarget
+    decoding replaced by the embedded main-survey name table or an
+    explicit DESI_TARGET bitmask)."""
     n = len(fibermap['TARGETID'])
     sel = np.ones(n, dtype=bool)
     sel &= fiberstatus_select(fibermap)
     if 'OBJTYPE' in fibermap:
         sel &= np.char.strip(fibermap['OBJTYPE'].astype(str)) == 'TGT'
+    if objtypes is not None:
+        objtype_mask = (objtype_mask or 0) | objtypes_to_mask(objtypes)
     if objtype_mask is not None and 'DESI_TARGET' in fibermap:
         sel &= (fibermap['DESI_TARGET'] & objtype_mask) > 0
     if minsn is not None:
@@ -507,8 +553,8 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
               setups=('b', 'r', 'z'), minsn=-1e9, fit_targetid=None,
               expid_range=None, ccf_init=True, use_resolution_matrix=False,
               zbest_path=None, zbest_select=False, objtype_mask=None,
-              npoly=10, doplot=False, templates=None, fitarm=None,
-              cmdline=None):
+              objtypes=None, npoly=10, doplot=False, templates=None,
+              fitarm=None, cmdline=None):
     """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
 
     Returns the number of fitted objects (0 when nothing selected).
@@ -534,7 +580,8 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     subset, rr_info = select_fibers_to_fit(
         fibermap, sn_max, minsn=minsn, fit_targetid=fit_targetid,
         expid_range=expid_range, zbest_path=zbest_path,
-        zbest_select=zbest_select, objtype_mask=objtype_mask)
+        zbest_select=zbest_select, objtype_mask=objtype_mask,
+        objtypes=objtypes)
     nsel = int(subset.sum())
     logging.info('%s: selected %d/%d fibers', fname, nsel, len(subset))
     if nsel == 0:
@@ -914,8 +961,14 @@ def proc_desi_wrapper(*args, **kwargs):
 
 def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
               output_mod_prefix=MODEL_PREFIX, config=None, options=None,
-              skipexisting=False, status_fname=None, **proc_kwargs):
-    """Process a sequence of files (reference: desi_fit.py:1392-1551)."""
+              skipexisting=False, status_fname=None, figure_dir=None,
+              figure_prefix='fig', **proc_kwargs):
+    """Process a sequence of files (reference: desi_fit.py:1392-1551).
+
+    ``figure_dir``/``figure_prefix``: where diagnostic plots go when
+    plotting is enabled (reference: desi_fit.py:1396-1397,1500-1510);
+    default is ``output_dir`` with prefix ``fig``.
+    """
     os.makedirs(output_dir, exist_ok=True)
     if status_fname:
         update_process_status_file(status_fname, None, None, 0, 0,
@@ -956,7 +1009,9 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                 kw['zbest_path'] = zb
         fig_prefix = None
         if kw.pop('doplot_figs', False):
-            fig_prefix = os.path.join(output_dir, 'fig-' + base)
+            fdir = figure_dir or output_dir
+            os.makedirs(fdir, exist_ok=True)
+            fig_prefix = os.path.join(fdir, f'{figure_prefix}-{base}')
             kw['doplot'] = True
         nobj = proc_desi_wrapper(f, tab_ofname, mod_ofname, fig_prefix,
                                  config, options or {},
@@ -997,9 +1052,32 @@ def main(args=None):
                         help='select STAR-like objects using the '
                         'redrock file next to the coadd')
     parser.add_argument('--doplot', action='store_true', default=False)
+    parser.add_argument('--figure_dir', type=str, default=None,
+                        help='directory for diagnostic plots '
+                        '(default: output_dir)')
+    parser.add_argument('--figure_prefix', type=str, default='fig',
+                        help='filename prefix for diagnostic plots')
+    parser.add_argument('--output_tab_prefix', type=str,
+                        default=TABLE_PREFIX,
+                        help='prefix of the output table files')
+    parser.add_argument('--output_mod_prefix', type=str,
+                        default=MODEL_PREFIX,
+                        help='prefix of the output model files')
+    parser.add_argument('--param_init', type=str, default='CCF',
+                        help='initial parameter/RV source: CCF or '
+                        'bruteforce')
     parser.add_argument('--objtype_mask', type=int, default=None,
-                        help='explicit DESI_TARGET bitmask (desitarget '
-                        'name decoding is not available)')
+                        help='explicit DESI_TARGET bitmask (for SV/CMX '
+                        'bits not in the embedded main-survey table)')
+    parser.add_argument('--objtypes', type=str, default=None,
+                        help='comma-separated regexes matched against '
+                        'main-survey DESI_TARGET names, e.g. '
+                        "'MWS_.*,STD_.*'")
+    parser.add_argument('--overwrite', type=str, default=None,
+                        help='(kept for reference CLI compatibility; '
+                        'meaningless now)')
+    parser.add_argument('--version', action='store_true', default=False,
+                        help='print the software version and exit')
     parser.add_argument('--no_ccf_continuum_normalize',
                         dest='ccf_continuum_normalize',
                         action='store_false', default=True)
@@ -1019,6 +1097,15 @@ def main(args=None):
                         'coordinator; enables the multi-host world '
                         '(rank/world default to the world indices)')
     args = parser.parse_args(args)
+
+    if args.version:
+        print(__version__)
+        return
+    if args.overwrite is not None:
+        logging.warning('overwrite keyword is meaningless now')
+    if args.param_init not in ('CCF', 'bruteforce'):
+        parser.error('Unknown param_init value; only known ones are '
+                     'CCF and bruteforce')
 
     # opt-in multi-host world (reference analogue: the MPI task farm,
     # utils.py:180-318); rank/world drive the static file sharding
@@ -1079,10 +1166,15 @@ def main(args=None):
         parser.error('provide input files or --input_file_from')
 
     try:
-        proc_many(files, args.output_dir, config=config,
+        proc_many(files, args.output_dir,
+                  output_tab_prefix=args.output_tab_prefix,
+                  output_mod_prefix=args.output_mod_prefix,
+                  config=config,
                   options={'npoly': args.npoly},
                   skipexisting=args.skipexisting,
                   status_fname=status_fname,
+                  figure_dir=args.figure_dir,
+                  figure_prefix=args.figure_prefix,
                   cmdline=cmdline,
                   setups=tuple(args.setups.split(',')),
                   minsn=args.minsn, fit_targetid=fit_targetid,
@@ -1091,6 +1183,9 @@ def main(args=None):
                   zbest_from_coadd=args.zbest_select,
                   doplot_figs=args.doplot,
                   objtype_mask=args.objtype_mask,
+                  objtypes=(args.objtypes.split(',')
+                            if args.objtypes else None),
+                  ccf_init=args.param_init == 'CCF',
                   use_resolution_matrix=args.resolution_matrix,
                   fitarm=(tuple(args.fitarm.split(','))
                           if args.fitarm else None),

@@ -463,3 +463,37 @@ def test_desi_two_process_multihost(coadd_file, desi_library, tmp_path):
         with open(str(tmp_path / f'mh_status_{rank}.txt')) as fp:
             lines = fp.read().strip().splitlines()
         assert len(lines) == 1 and 'SUCCESS' in lines[0]
+
+
+def test_objtypes_to_mask():
+    """Regex -> DESI_TARGET bitmask via the embedded main-survey name
+    table (reference: desi_fit.py:495-522 via desitarget)."""
+    mask = desi.objtypes_to_mask(['MWS_.*', 'STD_.*'])
+    assert mask == (1 << 61) | (1 << 33) | (1 << 34) | (1 << 35)
+    assert desi.objtypes_to_mask(['BGS_ANY']) == 1 << 60
+    with pytest.raises(ValueError):
+        desi.objtypes_to_mask(['NO_SUCH_TYPE_.*'])
+
+
+def test_desi_objtypes_selection(coadd_file, desi_library, tmp_path):
+    """--objtypes regexes drive DESI_TARGET selection: the fixture's
+    fibers are all BGS_ANY (bit 60), so MWS regexes select nothing
+    (structured empty output) without error."""
+    fname, _ = coadd_file
+    outdir = str(tmp_path / 'out_objtypes')
+    desi.main([fname, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--objtypes', 'MWS_.*,STD_.*',
+               '--throw_exceptions'])
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
+    assert len(tab['RVTAB'].data['VRAD']) == 0
+
+
+def test_desi_cli_version_and_param_init(capsys):
+    """--version prints and exits; unknown --param_init is an error
+    (reference desi_fit.py:1799-1805)."""
+    from rvspecfit_tpu import __version__
+    desi.main(['--version', '--output_dir', '/nonexistent'])
+    assert __version__ in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        desi.main(['x.fits', '--output_dir', '/tmp/nope',
+                   '--param_init', 'magic'])
