@@ -56,7 +56,8 @@ def valid_file(fp):
 
 
 def proc_weave(fnames, config, threadid=0, nthreads=1,
-               programs=DEFAULT_PROGRAMS, options=None, templates=None):
+               programs=DEFAULT_PROGRAMS, options=None, templates=None,
+               fig_prefix=None):
     """Fit one WEAVE red(+blue) file pair; returns a dict of columns
     (None when no fibers are selected)."""
     options = options or {'npoly': 15}
@@ -182,11 +183,27 @@ def proc_weave(fnames, config, threadid=0, nthreads=1,
         out['chisq_%s' % s] = mods['chisq'][a.name]
         out['chisq_c_%s' % s] = mods['cont_chisq'][a.name]
         out['sn_%s' % s] = sns[s]
+    if fig_prefix is not None:
+        from rvspecfit_tpu.survey.desi import make_plot
+        for k in range(nf):
+            title = ('teff=%.0f logg=%.1f V=%.1f+/-%.1f' % (
+                out['teff'][k], out['logg'][k], out['vrad'][k],
+                out['vrad_err'][k]))
+            try:
+                make_plot([a.lam for a in arms],
+                          [a.flux[k] for a in arms],
+                          [mods['models'][a.name][k] for a in arms],
+                          title,
+                          '%s_%s.png' % (fig_prefix,
+                                         str(out['target_id'][k]).strip()))
+            except Exception as exc:
+                logging.warning('plotting failed: %s', exc)
     return out
 
 
 def proc_many(file_groups, oprefix, config, threadid=0, nthreads=1,
-              options=None, overwrite=True, status_fname=None):
+              options=None, overwrite=True, status_fname=None,
+              fig_prefix=None, output_tab_prefix='outtab'):
     """Process file groups; write one output table per group
     (reference: weave_fit.py:263-321).  ``overwrite=False`` skips
     groups whose output table already exists (reference
@@ -202,7 +219,8 @@ def proc_many(file_groups, oprefix, config, threadid=0, nthreads=1,
         t0 = time.time()
         base = os.path.basename(str(grp).split(',')[0]).replace(
             '.fits', '')
-        ofname = os.path.join(oprefix, f'outtab_{base}_{threadid}.fits')
+        ofname = os.path.join(
+            oprefix, f'{output_tab_prefix}_{base}_{threadid}.fits')
         if (not overwrite) and os.path.exists(ofname):
             logging.info('skipping, products already exist %s', grp)
             if status_fname:
@@ -212,7 +230,9 @@ def proc_many(file_groups, oprefix, config, threadid=0, nthreads=1,
             continue
         try:
             out = proc_weave(grp, config, threadid=threadid,
-                             nthreads=nthreads, options=options)
+                             nthreads=nthreads, options=options,
+                             fig_prefix=(None if fig_prefix is None
+                                         else f'{fig_prefix}_{base}'))
         except Exception:
             logging.exception('failed processing %s', grp)
             if status_fname:
@@ -247,7 +267,23 @@ def main(args=None):
     parser.add_argument('--input_file', type=str, default=None,
                         help='file with one input group per line '
                         '(reference weave_fit.py:344-348)')
-    parser.add_argument('--oprefix', type=str, default='outputs/')
+    parser.add_argument('--oprefix', type=str, default=None,
+                        help='(legacy) output directory; superseded by '
+                        '--output_dir')
+    parser.add_argument('--output_dir', type=str, default=None,
+                        help='output directory for the tables '
+                        '(reference weave_fit.py:349-353)')
+    parser.add_argument('--output_tab_prefix', type=str,
+                        default='outtab',
+                        help='prefix of output table files (reference '
+                        'weave_fit.py:354-359)')
+    parser.add_argument('--doplot', action='store_true', default=False,
+                        help='write per-fiber diagnostic figures')
+    parser.add_argument('--figure_dir', type=str, default='./',
+                        help='directory for the fit figures (reference '
+                        'weave_fit.py:360-363)')
+    parser.add_argument('--figure_prefix', type=str, default='fig',
+                        help='filename prefix for the fit figures')
     parser.add_argument('--config', type=str, default=None)
     parser.add_argument('--templ_lib', type=str, default=None)
     parser.add_argument('--nthreads', type=int, default=1)
@@ -291,10 +327,16 @@ def main(args=None):
     if args.templ_lib:
         override['template_lib'] = args.templ_lib
     config = utils.read_config(args.config, override)
-    proc_many(files, args.oprefix, config,
+    outdir = args.output_dir or args.oprefix or 'outputs/'
+    fig_prefix = None
+    if args.doplot:
+        os.makedirs(args.figure_dir, exist_ok=True)
+        fig_prefix = os.path.join(args.figure_dir, args.figure_prefix)
+    proc_many(files, outdir, config,
               threadid=args.threadid, nthreads=args.nthreads,
               options={'npoly': args.npoly}, overwrite=args.overwrite,
-              status_fname=status_fname)
+              status_fname=status_fname, fig_prefix=fig_prefix,
+              output_tab_prefix=args.output_tab_prefix)
 
 
 if __name__ == '__main__':

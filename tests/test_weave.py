@@ -114,9 +114,14 @@ def test_weave_fit(weave_setup, tmp_path):
     lines = open(str(tmp_path / 'status_0.txt')).read().split('\n')
     assert 'SKIPPED' in lines[0]
 
-    # --overwrite reprocesses and reports SUCCESS with the fiber count
-    weave.main([','.join(fnames), '--oprefix', outdir,
+    # --overwrite reprocesses and reports SUCCESS with the fiber count;
+    # reference-style --output_dir/--figure_dir flags + per-fiber plots
+    figdir = str(tmp_path / 'figs')
+    weave.main([','.join(fnames), '--output_dir', outdir,
                 '--templ_lib', lib, '--npoly', '8', '--overwrite',
+                '--doplot', '--figure_dir', figdir,
                 '--process_status_file', status])
     lines = open(str(tmp_path / 'status_0.txt')).read().split('\n')
     assert 'SUCCESS' in lines[0] and f' {NFIB} ' in lines[0]
+    figs = [f for f in os.listdir(figdir) if f.endswith('.png')]
+    assert len(figs) == NFIB
