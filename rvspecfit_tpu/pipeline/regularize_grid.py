@@ -159,15 +159,35 @@ def main(args=None):
                         help='input specs_{setup}.h5')
     parser.add_argument('--output', type=str, required=True,
                         help='output specs_{setup}.h5')
-    parser.add_argument('--fehs', type=str, required=True,
-                        help='comma-separated new feh grid')
-    parser.add_argument('--alphas', type=str, required=True,
-                        help='comma-separated new alpha grid')
+    parser.add_argument('--fehs', type=str, default=None,
+                        help='comma-separated new feh grid (overrides '
+                        'the min/max/step form)')
+    parser.add_argument('--alphas', type=str, default=None,
+                        help='comma-separated new alpha grid (overrides '
+                        'the min/max/step form)')
+    # reference-compatible range form (reference:
+    # regularize_grid.py:175-204; same defaults)
+    parser.add_argument('--min_feh', type=float, default=-4.0)
+    parser.add_argument('--max_feh', type=float, default=1.2)
+    parser.add_argument('--step_feh', type=float, default=0.25)
+    parser.add_argument('--min_alpha', type=float, default=-0.4)
+    parser.add_argument('--max_alpha', type=float, default=1.2)
+    parser.add_argument('--step_alpha', type=float, default=0.2)
     parser.add_argument('--window', type=int, default=12)
     args = parser.parse_args(args)
-    converter(args.input, args.output,
-              [float(x) for x in args.fehs.split(',')],
-              [float(x) for x in args.alphas.split(',')],
+    if args.fehs is not None:
+        fehs = [float(x) for x in args.fehs.split(',')]
+    else:
+        fehs = np.arange(args.min_feh,
+                         args.max_feh + args.step_feh / 2,
+                         args.step_feh).tolist()
+    if args.alphas is not None:
+        alphas = [float(x) for x in args.alphas.split(',')]
+    else:
+        alphas = np.arange(args.min_alpha,
+                           args.max_alpha + args.step_alpha / 2,
+                           args.step_alpha).tolist()
+    converter(args.input, args.output, fehs, alphas,
               window=args.window)
 
 
