@@ -164,7 +164,13 @@ def proc_weave(fnames, config, threadid=0, nthreads=1,
     x0[:, 1] = np.clip(start_vsini, 0, config['max_vsini'])
     x0[:, 2:] = start_params
     nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
-    vel_b, params_b, vsini_b = mapper.unpack_host(nmres['x'])
+    xbest, fun_best = nmres['x'], nmres['fun']
+    if config.get('second_minimizer'):
+        # batched gradient polish (reference default-on BFGS stage,
+        # vel_fit.py:653-660) — same wiring as the DESI driver
+        pol = bf.run_polish(mapper, xbest, fun0=fun_best)
+        xbest, fun_best = pol['x'], pol['fun']
+    vel_b, params_b, vsini_b = mapper.unpack_host(xbest)
     ref = bf.refine_velocities(vel_b, params_b, vsinis=vsini_b)
     errs, _, bad_hess = bf.hessian_errors(
         ref['best_vel'], params_b, vsinis=vsini_b, parnames=parnames)
