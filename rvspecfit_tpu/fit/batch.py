@@ -106,6 +106,34 @@ class BatchArm:
         return esp
 
 
+def gather_arm_states(arms, idx):
+    """ArmState list with the fiber-axis leaves gathered at ``idx``.
+
+    Trace-safe (pure jnp), so it can run INSIDE a jitted program: the
+    NM tile programs take the full device-resident ArmStates plus the
+    tile's fiber indices and gather in-graph, instead of the host
+    dispatching a dozen small take-programs per tile per round
+    (dispatch latency is the NM bottleneck on remote TPU runtimes).
+    """
+    idx = jnp.asarray(idx, jnp.int32)
+    out = []
+    for arm in arms:
+        band = arm.band
+        if band is not None:
+            band = BandedMatrix(band.offsets,
+                                jnp.take(band.bands, idx, axis=0))
+        out.append(ArmState(
+            lam=arm.lam,
+            dvec=jnp.take(arm.dvec, idx, axis=0),
+            espec_inv=jnp.take(arm.espec_inv, idx, axis=0),
+            polys=arm.polys,
+            log_espec_sum=jnp.take(arm.log_espec_sum, idx, axis=0),
+            band=band, name=arm.name, setup=arm.setup,
+            idx0=arm.idx0, lam_over_step=arm.lam_over_step,
+            pallas_window=arm.pallas_window))
+    return out
+
+
 class BatchedFitter:
     """Fit a batch of fibers sharing arm wavelength grids."""
 
@@ -506,23 +534,8 @@ class BatchedFitter:
     def _gather_arms(self, idx):
         """ArmState list with the fiber-axis leaves gathered at
         ``idx`` (device gather — used for straggler compaction)."""
-        idx = jnp.asarray(np.asarray(idx, np.int32))
-        out = []
-        for arm in self.arms:
-            band = arm.band
-            if band is not None:
-                band = BandedMatrix(band.offsets,
-                                    jnp.take(band.bands, idx, axis=0))
-            out.append(ArmState(
-                lam=arm.lam,
-                dvec=jnp.take(arm.dvec, idx, axis=0),
-                espec_inv=jnp.take(arm.espec_inv, idx, axis=0),
-                polys=arm.polys,
-                log_espec_sum=jnp.take(arm.log_espec_sum, idx, axis=0),
-                band=band, name=arm.name, setup=arm.setup,
-                idx0=arm.idx0, lam_over_step=arm.lam_over_step,
-                pallas_window=arm.pallas_window))
-        return out
+        return gather_arm_states(self.arms,
+                                 jnp.asarray(np.asarray(idx, np.int32)))
 
     @staticmethod
     def _priors_key(priors):
@@ -565,10 +578,15 @@ class BatchedFitter:
                     [s.reshape(bb, -1), f, d[:, None].astype(s.dtype)],
                     axis=1)
 
-            init_p = jax.jit(lambda s, arms, templ: pack(
-                *init_raw(s, arms, templ)[:3]))
-            chunk_p = jax.jit(lambda s, f, d, arms, templ: pack(
-                *chunk_raw(s, f, d, arms, templ)[:3]))
+            # the tile's fiber gather happens IN-GRAPH (idx arg):
+            # zero extra dispatches per tile, and XLA fuses the
+            # gather into the first consumers
+            init_p = jax.jit(lambda s, idx, arms, templ: pack(
+                *init_raw(s, gather_arm_states(arms, idx),
+                          templ)[:3]))
+            chunk_p = jax.jit(lambda s, f, d, idx, arms, templ: pack(
+                *chunk_raw(s, f, d, gather_arm_states(arms, idx),
+                           templ)[:3]))
             fns = (init_p, chunk_p)
             self._objective_cache[pkey] = fns
         return fns
@@ -617,14 +635,14 @@ class BatchedFitter:
                 simplex = np.array(nm.build_simplex(
                     jnp.asarray(x_dummy[idx]), scales,
                     seed=vf.SIMPLEX_SEED), np.float64)
-                arms_w = self._gather_arms(idx)
-                packed = init_p(jnp.asarray(simplex, dt), arms_w,
-                                self.templates)
+                idx_d = jnp.asarray(idx, jnp.int32)
+                packed = init_p(jnp.asarray(simplex, dt), idx_d,
+                                self.arms, self.templates)
                 np.asarray(packed)
                 packed = chunk_p(jnp.asarray(simplex, dt),
                                  jnp.zeros((w, np1), dt),
-                                 jnp.zeros(w, bool), arms_w,
-                                 self.templates)
+                                 jnp.zeros(w, bool), idx_d,
+                                 self.arms, self.templates)
                 np.asarray(packed)
             return go
 
@@ -764,8 +782,8 @@ class BatchedFitter:
             # one round are independent, so their device programs
             # overlap and only one round-trip latency is paid
             outs = [(sel, init_p(jnp.asarray(simplex_h[sel_p], dt),
-                                 self._gather_arms(sel_p),
-                                 self.templates))
+                                 jnp.asarray(sel_p, jnp.int32),
+                                 self.arms, self.templates))
                     for sel, sel_p in tiles_of(idx)]
             for sel, packed in outs:
                 unpack_to_host(sel, packed)
@@ -793,7 +811,8 @@ class BatchedFitter:
                     jnp.asarray(simplex_h[sel_p], dt),
                     jnp.asarray(fvals_h[sel_p], dt),
                     jnp.asarray(done_h[sel_p]),
-                    self._gather_arms(sel_p), self.templates))
+                    jnp.asarray(sel_p, jnp.int32),
+                    self.arms, self.templates))
                     for sel, sel_p in tiles_of(undone)]
                 for sel, packed in outs:
                     unpack_to_host(sel, packed)
