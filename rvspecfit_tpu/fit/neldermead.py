@@ -25,6 +25,7 @@ convergence) natively over a batch axis:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -97,16 +98,18 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
         return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
                     nit=nit, final_simplex=simplex)
 
+    scheme = os.environ.get('RVST_NM_SCHEME', 'cand4')
     if jit:
-        key = (fun, fatol, xatol, maxiter)
+        key = (fun, fatol, xatol, maxiter, scheme)
         core = _JIT_CACHE.get(key)
         if core is None:
             core = jax.jit(partial(_minimize_core, fun, fatol=fatol,
-                                   xatol=xatol, maxiter=maxiter))
+                                   xatol=xatol, maxiter=maxiter,
+                                   scheme=scheme))
             _JIT_CACHE[key] = core
     else:
         core = partial(_minimize_core, fun, fatol=fatol, xatol=xatol,
-                       maxiter=maxiter)
+                       maxiter=maxiter, scheme=scheme)
     simplex, fvals, nit, done = core(simplex, *fun_args)
     return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
                 nit=nit, final_simplex=simplex)
@@ -124,13 +127,15 @@ def make_stepper(fun, fatol=1e-3, xatol=1e-2, chunk=64):
     """
     if isinstance(xatol, (tuple, list)) or hasattr(xatol, 'shape'):
         xatol = tuple(float(x) for x in np.asarray(xatol).ravel())
-    key = ('stepper', fun, fatol, xatol, chunk)
+    scheme = os.environ.get('RVST_NM_SCHEME', 'cand4')
+    key = ('stepper', fun, fatol, xatol, chunk, scheme)
     fns = _JIT_CACHE.get(key)
     if fns is None:
         init_fn = jax.jit(partial(_nm_init, fun, fatol=fatol,
                                   xatol=xatol))
         chunk_fn = jax.jit(partial(_nm_chunk, fun, fatol=fatol,
-                                   xatol=xatol, chunk=chunk))
+                                   xatol=xatol, chunk=chunk,
+                                   scheme=scheme))
         fns = (init_fn, chunk_fn)
         _JIT_CACHE[key] = fns
     return fns
@@ -172,42 +177,85 @@ def _nm_converged(simplex, fvals, fatol, xatol):
     return (fspread <= fatol) & xok
 
 
-def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
+def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol,
+             scheme=None):
     """One NM iteration on an UNSORTED simplex.
 
     Best/worst rows are selected with one-hot contractions (no argsort
     / gather / scatter: scatter-based bodies crash remote TPU
     compilers, and einsum picks truncate to bfloat16 on the MXU).
-    Per iteration the objective is evaluated twice per instance —
-    the reflection point, then one selected second candidate
-    (expansion or contraction, chosen per instance with a where) —
-    and the shrunk simplex is evaluated only under a ``lax.cond``
-    when some unconverged instance actually needs the shrink step.
+    The shrunk simplex is evaluated only under a ``lax.cond`` when
+    some unconverged instance actually needs the shrink step.
     Mathematically identical to scipy's implementation up to
     tie-breaking (verified against scipy in tests/test_neldermead.py).
+
+    Two candidate-evaluation schemes (``RVST_NM_SCHEME`` env, default
+    ``scan2``):
+
+    * ``scan2`` — scipy's literal flow: evaluate the reflection,
+      derive ONE second candidate per instance (expansion or a
+      contraction, chosen by where-selects on fr), evaluate it.  The
+      two sequential (B, 1) evaluations run as a 2-step ``lax.scan``
+      whose body contains the objective exactly ONCE, so the compiled
+      program stays the same size while each iteration costs 2
+      objective trials per instance.
+    * ``cand4`` — evaluate all four candidates (reflection, expansion,
+      both contractions) in one (B, 4) call.  Fewer sequential device
+      steps but twice the trial FLOPs; wins only when the objective is
+      dispatch/overhead-bound rather than compute-bound.
     """
     alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+    if scheme is None:
+        scheme = os.environ.get('RVST_NM_SCHEME', 'cand4')
     n = simplex.shape[2]
     ohw, ohb, f_worst, f_second, f_best = _nm_stats(simplex, fvals)
     worst = _pick_row(ohw, simplex)
     best = _pick_row(ohb, simplex)
     centroid = (jnp.sum(simplex, axis=1) - worst) / n
 
-    # evaluate ALL FOUR candidates (reflection, expansion, outside and
-    # inside contraction) in ONE batched call: at production shapes
-    # the objective is dispatch/overhead-bound, so one (B, 4) call
-    # costs barely more than a (B, 1) call — nearly halving the
-    # per-iteration wall time vs the sequential two-call scheme while
-    # reproducing scipy's decisions exactly (all values it could ever
-    # consult are available)
     xr = centroid + alpha * (centroid - worst)
-    xe = centroid + gamma * (xr - centroid)
-    xc_out = centroid + rho * (xr - centroid)
-    xc_in = centroid - rho * (centroid - worst)
-    cand = jnp.stack([xr, xe, xc_out, xc_in], axis=1)   # (B, 4, n)
-    fcand = fun(cand, *fun_args)                        # (B, 4)
-    fr, fe, fco, fci = (fcand[:, 0], fcand[:, 1], fcand[:, 2],
-                        fcand[:, 3])
+    if scheme == 'cand4':
+        xe = centroid + gamma * (xr - centroid)
+        xc_out = centroid + rho * (xr - centroid)
+        xc_in = centroid - rho * (centroid - worst)
+        cand = jnp.stack([xr, xe, xc_out, xc_in], axis=1)  # (B, 4, n)
+        fcand = fun(cand, *fun_args)                       # (B, 4)
+        fr, fe, fco, fci = (fcand[:, 0], fcand[:, 1], fcand[:, 2],
+                            fcand[:, 3])
+        take_expansion = (fr < f_best) & (fe < fr)
+        x2 = jnp.where(take_expansion[:, None], xe,
+                       jnp.where((fr >= f_worst)[:, None], xc_in,
+                                 xc_out))
+        f2 = jnp.where(take_expansion, fe,
+                       jnp.where(fr >= f_worst, fci, fco))
+    else:
+        # scan2: phase 0 evaluates the reflection and constructs the
+        # per-instance second candidate; phase 1 evaluates it.  One
+        # objective call site total (the scan body).
+        def phase(carry, is_first):
+            x_eval, fr_c, x2_c = carry
+            f = fun(x_eval[:, None, :], *fun_args)[:, 0]   # (B,)
+            # second candidate from the (phase-0) reflection value:
+            #   fr < f_best            -> expansion
+            #   fr >= f_worst          -> inside contraction
+            #   otherwise              -> outside contraction
+            # (when fr lands in [f_best, f_second) scipy accepts the
+            # reflection without a second evaluation; the extra value
+            # computed here is simply never accepted below)
+            x2_new = jnp.where(
+                (f < f_best)[:, None],
+                centroid + gamma * (x_eval - centroid),
+                jnp.where((f >= f_worst)[:, None],
+                          centroid - rho * (centroid - worst),
+                          centroid + rho * (x_eval - centroid)))
+            fr_n = jnp.where(is_first, f, fr_c)
+            x2_n = jnp.where(is_first, x2_new, x2_c)
+            return (jnp.where(is_first, x2_n, x_eval), fr_n, x2_n), f
+        (_, fr, x2), fs = jax.lax.scan(
+            phase, (xr, jnp.zeros_like(fvals[:, 0]), xr),
+            jnp.asarray([True, False]))
+        f2 = fs[1]
+        take_expansion = (fr < f_best) & (f2 < fr)
 
     expand = fr < f_best
     contract_out = (fr >= f_second) & (fr < f_worst)
@@ -218,17 +266,12 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol):
     #  - f_best <= fr < f_second: accept xr
     #  - contract_out: accept xc_out if fco <= fr else shrink
     #  - contract_in: accept xc_in if fci < f_worst else shrink
-    take_expansion = expand & (fe < fr)
     accept_r = (~expand & ~contract_out & ~contract_in) | \
         (expand & ~take_expansion)
-    accept_2 = take_expansion | (contract_out & (fco <= fr)) | \
-        (contract_in & (fci < f_worst))
+    accept_2 = take_expansion | (contract_out & (f2 <= fr)) | \
+        (contract_in & (f2 < f_worst))
     shrink = ~(accept_r | accept_2)
 
-    x2 = jnp.where(take_expansion[:, None], xe,
-                   jnp.where(contract_in[:, None], xc_in, xc_out))
-    f2 = jnp.where(take_expansion, fe,
-                   jnp.where(contract_in, fci, fco))
     new_point = jnp.where(accept_2[:, None], x2, xr)
     new_f = jnp.where(accept_2, f2, fr)
     replace = (~shrink)[:, None] * ohw                   # (B, n+1)
@@ -262,23 +305,27 @@ def _nm_init(fun, simplex, *fun_args, fatol, xatol):
     return simplex, fvals, done, jnp.all(done)
 
 
-def _nm_chunk(fun, simplex, fvals, done, *fun_args, fatol, xatol, chunk):
+def _nm_chunk(fun, simplex, fvals, done, *fun_args, fatol, xatol, chunk,
+              scheme=None):
     def body(_, state):
         s, f, d = state
-        return _nm_body(fun, fun_args, s, f, d, fatol, xatol)
+        return _nm_body(fun, fun_args, s, f, d, fatol, xatol,
+                        scheme=scheme)
 
     simplex, fvals, done = jax.lax.fori_loop(
         0, chunk, body, (simplex, fvals, done))
     return simplex, fvals, done, jnp.all(done)
 
 
-def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter):
+def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter,
+                   scheme=None):
     fvals = fun(simplex, *fun_args)
     done0 = _nm_converged(simplex, fvals, fatol, xatol)
 
     def body(state):
         s, f, it, d = state
-        s, f, d = _nm_body(fun, fun_args, s, f, d, fatol, xatol)
+        s, f, d = _nm_body(fun, fun_args, s, f, d, fatol, xatol,
+                           scheme=scheme)
         return s, f, it + 1, d
 
     def cond(state):

@@ -1,5 +1,6 @@
 """Tests of the batched Nelder-Mead optimizer vs scipy."""
 import numpy as np
+import pytest
 import scipy.optimize
 import jax
 import jax.numpy as jnp
@@ -7,7 +8,16 @@ import jax.numpy as jnp
 from rvspecfit_tpu.fit import neldermead as nm
 
 
-def test_rosenbrock_batch_matches_scipy():
+@pytest.fixture(params=['cand4', 'scan2'])
+def nm_scheme(request, monkeypatch):
+    """Run the scipy-equivalence tests under BOTH candidate-evaluation
+    schemes (the one-call 4-candidate program and the sequential
+    2-evaluation scan); both must reproduce scipy's decisions."""
+    monkeypatch.setenv('RVST_NM_SCHEME', request.param)
+    return request.param
+
+
+def test_rosenbrock_batch_matches_scipy(nm_scheme):
     # 4-D Rosenbrock has a global minimum at 1...1 and a genuine local
     # minimum with f ~ 3.7014; the batched optimizer must land on the
     # same stationary point as scipy when started from the same simplex.
@@ -37,7 +47,7 @@ def test_rosenbrock_batch_matches_scipy():
                                    err_msg=f'instance {i}')
 
 
-def test_matches_scipy_on_quadratic():
+def test_matches_scipy_on_quadratic(nm_scheme):
     a = np.array([1.0, 3.0, 0.5])
 
     def f_np(x):
@@ -76,3 +86,26 @@ def test_frozen_instances_do_not_move():
     res = nm.minimize_batch(jax.jit(f), simplex, fatol=1e-9, xatol=1e-9,
                             maxiter=4000)
     np.testing.assert_allclose(np.asarray(res['x'])[0], 0.0, atol=1e-4)
+
+
+def test_chunked_matches_whileloop(nm_scheme):
+    """The host-driven chunked stepper (the production path in
+    BatchedFitter.run_neldermead) must land on the same optima as the
+    single while_loop program, under either candidate scheme."""
+    def rosen(x):
+        return jnp.sum(100.0 * (x[..., 1:] - x[..., :-1]**2)**2
+                       + (1 - x[..., :-1])**2, axis=-1)
+
+    rng = np.random.RandomState(3)
+    x0 = jnp.asarray(rng.uniform(-2, 2, size=(8, 3)))
+    simplex = np.asarray(nm.build_simplex(x0, np.full(3, 0.4)))
+    fn = jax.jit(rosen)
+    whole = nm.minimize_batch(fn, jnp.asarray(simplex), fatol=1e-9,
+                              xatol=1e-9, maxiter=3000)
+    chunked = nm.minimize_batch(fn, jnp.asarray(simplex), fatol=1e-9,
+                                xatol=1e-9, maxiter=3000, chunk=50)
+    assert np.asarray(chunked['converged']).all()
+    np.testing.assert_allclose(np.asarray(chunked['fun']),
+                               np.asarray(whole['fun']), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(chunked['x']),
+                               np.asarray(whole['x']), atol=1e-4)
