@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from rvspecfit_tpu import serializer
 from rvspecfit_tpu.fit.spec_data import SpecData
+from rvspecfit_tpu.ops import pallas_ccf
 from rvspecfit_tpu.pipeline import make_ccf
 
 C_KMS = 299792.458
@@ -319,9 +320,19 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
                 ivfft_c = np.pad(ivfft_c, ((0, pad), (0, 0)))
             pack = lambda c: jnp.asarray(np.stack(
                 [c.real, c.imag]).astype(fdtype))
-            fun = _ccf_batch_cont if p['continuum'] else _ccf_batch_nocont
-            cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),
-                      pack(ivfft_c), p['ecos'], p['esin'])
+            pk = pallas_ccf.use_pallas_ccf()
+            if pk:
+                # fused product-contraction kernel: the (tile, T, F)
+                # complex-product intermediate never reaches HBM
+                cur = pallas_ccf.ccf_chisq_pallas(
+                    p['tfft'], p['t2fft'], pack(sfft_c), pack(ivfft_c),
+                    p['ecos'], p['esin'], continuum=p['continuum'],
+                    interpret=(pk == 'interpret'))
+            else:
+                fun = _ccf_batch_cont if p['continuum'] \
+                    else _ccf_batch_nocont
+                cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),
+                          pack(ivfft_c), p['ecos'], p['esin'])
             contributions = cur if contributions is None else \
                 contributions + cur
         pending.append((i0, i1,
