@@ -292,11 +292,17 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
     total_sse = np.sum([p['sse'] for p in prep], axis=0)   # (B,)
 
     if microbatch is None:
-        ntempl = prep[0]['tfft'].shape[1]
-        nfreq = prep[0]['tfft'].shape[2]
-        budget = 2.8e7  # elements per (tile, T, F) intermediate
-        microbatch = int(budget / max(ntempl * nfreq, 1))
-        microbatch = int(np.clip(microbatch, 32, max(nf, 32)))
+        if pallas_ccf.use_pallas_ccf():
+            # the fused kernel has no (tile, T, F) HBM intermediate:
+            # one whole-exposure tile minimizes dispatches (the kernel
+            # tiles the fiber axis internally)
+            microbatch = max(nf, 32)
+        else:
+            ntempl = prep[0]['tfft'].shape[1]
+            nfreq = prep[0]['tfft'].shape[2]
+            budget = 2.8e7  # elements per (tile, T, F) intermediate
+            microbatch = int(budget / max(ntempl * nfreq, 1))
+            microbatch = int(np.clip(microbatch, 32, max(nf, 32)))
 
     best_id = np.zeros(nf, dtype=np.int64)
     best_vel = np.zeros(nf)
