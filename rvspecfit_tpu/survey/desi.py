@@ -1083,6 +1083,16 @@ def main(args=None):
                         action='store_false', default=True)
     parser.add_argument('--resolution_matrix', action='store_true',
                         default=False)
+    # reference CLI compatibility (desi_fit.py:1673-1677): an explicit
+    # opt-out spelling of the same default-off switch
+    parser.add_argument('--no-resolution_matrix',
+                        dest='resolution_matrix', action='store_false')
+    # reference CLI compatibility (desi_fit.py:1561-1566): worker
+    # count of the reference's per-fiber process pool.  Fibers are a
+    # batch axis here, so the value is accepted and ignored.
+    parser.add_argument('--nthreads', type=int, default=None,
+                        help='ignored (reference compatibility): '
+                        'fibers are fitted as one device batch')
     parser.add_argument('--skipexisting', action='store_true',
                         default=False)
     parser.add_argument('--throw_exceptions', action='store_true',
