@@ -497,3 +497,26 @@ def test_desi_cli_version_and_param_init(capsys):
     with pytest.raises(SystemExit):
         desi.main(['x.fits', '--output_dir', '/tmp/nope',
                    '--param_init', 'magic'])
+
+
+def test_desi_param_init_bruteforce(coadd_file, desi_library, tmp_path):
+    """--param_init bruteforce fits without the CCF stage (reference
+    desi_fit.py:1799-1805): first guess comes from the template-grid
+    scan and the CCF-stage columns are absent from RVTAB."""
+    fname, truth = coadd_file
+    outdir = str(tmp_path / 'out_bruteforce')
+    desi.main([fname, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--param_init', 'bruteforce',
+               '--throw_exceptions'])
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
+    rv = tab['RVTAB'].data
+    nfit = len(rv['VRAD'])
+    assert nfit > 0
+    assert 'CHISQ_CCF' not in rv
+    # velocities still recovered (the guess path feeds the same fit)
+    tids = rv['TARGETID'] - 39620000000
+    ok = rv['RVS_WARN'] == 0
+    assert ok.sum() >= nfit - 2
+    dv = rv['VRAD'][ok] - truth['vel'][tids[ok]]
+    lim = np.maximum(10.0, 5 * rv['VRAD_ERR'][ok])
+    assert (np.abs(dv) < lim).all()
