@@ -41,6 +41,10 @@ class CCFCache:
     data = {}
 
 
+# sticky fallback flag: set when the Pallas kernel fails at runtime
+_PALLAS_STATE = {}
+
+
 def get_ccf_info(spec_setup, config):
     """Load (cached) CCF artifacts for one setup
     (reference: fitter_ccf.py:21-59)."""
@@ -326,15 +330,28 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
                 ivfft_c = np.pad(ivfft_c, ((0, pad), (0, 0)))
             pack = lambda c: jnp.asarray(np.stack(
                 [c.real, c.imag]).astype(fdtype))
-            pk = pallas_ccf.use_pallas_ccf()
+            pk = False if _PALLAS_STATE.get('failed') \
+                else pallas_ccf.use_pallas_ccf()
+            cur = None
             if pk:
                 # fused product-contraction kernel: the (tile, T, F)
                 # complex-product intermediate never reaches HBM
-                cur = pallas_ccf.ccf_chisq_pallas(
-                    p['tfft'], p['t2fft'], pack(sfft_c), pack(ivfft_c),
-                    p['ecos'], p['esin'], continuum=p['continuum'],
-                    interpret=(pk == 'interpret'))
-            else:
+                try:
+                    cur = pallas_ccf.ccf_chisq_pallas(
+                        p['tfft'], p['t2fft'], pack(sfft_c),
+                        pack(ivfft_c), p['ecos'], p['esin'],
+                        continuum=p['continuum'],
+                        interpret=(pk == 'interpret'))
+                except Exception:
+                    # safety net: a Mosaic lowering failure on an
+                    # unexpected backend must not take the whole fit
+                    # down — fall back to the XLA formulation for the
+                    # rest of the process
+                    logging.exception(
+                        'Pallas CCF kernel failed; falling back to '
+                        'the XLA formulation')
+                    _PALLAS_STATE['failed'] = True
+            if cur is None:
                 fun = _ccf_batch_cont if p['continuum'] \
                     else _ccf_batch_nocont
                 cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),

@@ -17,28 +17,30 @@ HBM before contracting them over frequency — ~440 MB per microbatch
 tile per arm, which makes the whole CCF phase HBM-bandwidth-bound
 (measured 2.9-3.6 s of the 500-fiber bench against a ~40 ms MXU
 roofline).  This kernel fuses product and contraction: per grid cell
-the bank block and the DFT matrices sit in VMEM, each fiber's product
+a bank block and a DFT-matrix block sit in VMEM, each fiber's product
 rows are formed on the VPU and immediately contracted on the MXU, so
 the (B, T, F) intermediate never exists.
 
 Layout notes:
 
-* the two real/imag contractions fold into ONE matmul per (fiber,
-  correlation): with P = [pr, -pi] laid out on a doubled frequency
-  axis and E = [ecos; esin] stacked the same way,
-  c = pr @ ecos - pi @ esin = P @ E — half the MXU dispatches;
+* grid (fibers/bb, T/tb, V/vb), velocity innermost: the bank block is
+  constant along v, the DFT blocks are constant along t and cheap to
+  restream along v, the spectrum rows are constant along both inner
+  axes;
+* blocks are sized for the ~16 MB/core VMEM budget (banks 2x(2, tb,
+  Fp), DFT 2x(Fp, vb), products 4x(tb, Fp) live values);
 * frequency is zero-padded to a lane multiple (padded products are
-  zero, contributing nothing to the contraction); velocity is padded
-  to a lane multiple and sliced off outside; templates are padded to
-  the sublane granularity and sliced off outside (a zero template row
-  would otherwise win the arm-summed argmin);
-* the fiber axis is tiled at ``bb`` rows per grid cell with a static
-  unroll (dynamic sublane starts are a Mosaic hazard; bb is small).
+  zero, contributing nothing to the contraction); velocity/template
+  pads are sliced off outside (a zero template row would otherwise
+  win the arm-summed argmin);
+* the fiber axis unrolls statically at ``bb`` rows per cell (dynamic
+  sublane starts are a Mosaic hazard; bb is small).
 
 Numerics match fit/ccf._ccf_batch_cont/_ccf_batch_nocont to float
 rounding (golden-tested in tests/test_pallas_ccf.py with interpret
 mode on CPU); enabled on TPU backends by default through
-RVST_PALLAS_CCF (same policy shape as RVST_PALLAS_SPLINE).
+RVST_PALLAS_CCF (same policy shape as RVST_PALLAS_SPLINE), with a
+runtime fallback to the XLA formulation in fit_batch.
 """
 from __future__ import annotations
 
@@ -68,26 +70,25 @@ def use_pallas_ccf():
         return False
 
 
-def _kernel(t_ref, t2_ref, s_ref, iv_ref, e_ref, o_ref, *, bb,
+def _kernel(t_ref, t2_ref, s_ref, iv_ref, ec_ref, es_ref, o_ref, *, bb,
             continuum):
     from rvspecfit_tpu.ops.prec import matmul_precision
     hp = matmul_precision('ccf')
-    ar, ai = t_ref[0], t_ref[1]          # (Tp, Fp) bank
+    ar, ai = t_ref[0], t_ref[1]          # (tb, Fp) bank block
     a2r, a2i = t2_ref[0], t2_ref[1]
-    e = e_ref[...]                       # (2 Fp, Vb) [ecos; esin]
+    ec = ec_ref[...]                     # (Fp, vb)
+    es = es_ref[...]
     dt = ar.dtype
+    dot = functools.partial(jax.lax.dot, precision=hp,
+                            preferred_element_type=dt)
     for b in range(bb):                  # static unroll
         br, bi = s_ref[0, b], s_ref[1, b]          # (Fp,)
         wr, wi = iv_ref[0, b], iv_ref[1, b]
         # c0 = (ar br - ai bi) @ ecos - (ar bi + ai br) @ esin
-        p = jnp.concatenate(
-            [ar * br[None, :] - ai * bi[None, :],
-             -(ar * bi[None, :] + ai * br[None, :])], axis=1)
-        c0 = jax.lax.dot(p, e, precision=hp, preferred_element_type=dt)
-        q = jnp.concatenate(
-            [a2r * wr[None, :] - a2i * wi[None, :],
-             -(a2r * wi[None, :] + a2i * wr[None, :])], axis=1)
-        c1 = jax.lax.dot(q, e, precision=hp, preferred_element_type=dt)
+        c0 = dot(ar * br[None, :] - ai * bi[None, :], ec) \
+            - dot(ar * bi[None, :] + ai * br[None, :], es)
+        c1 = dot(a2r * wr[None, :] - a2i * wi[None, :], ec) \
+            - dot(a2r * wi[None, :] + a2i * wr[None, :], es)
         if continuum:
             o_ref[b] = -2.0 * c0 + c1
         else:
@@ -95,9 +96,11 @@ def _kernel(t_ref, t2_ref, s_ref, iv_ref, e_ref, o_ref, *, bb,
 
 
 @functools.partial(jax.jit, static_argnames=('continuum', 'bb',
-                                             'vblock', 'interpret'))
+                                             'tblock', 'vblock',
+                                             'interpret'))
 def ccf_chisq_pallas(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin,
-                     continuum=True, bb=8, vblock=512, interpret=False):
+                     continuum=True, bb=8, tblock=64, vblock=128,
+                     interpret=False):
     """Fused (B, T, V) CCF chi-square contributions for one arm.
 
     tfft, t2fft : (2, T, F) stacked real/imag bank FFTs
@@ -109,9 +112,16 @@ def ccf_chisq_pallas(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin,
     b = sfft_conj.shape[1]
     v = ecos.shape[1]
     dt = tfft.dtype
+    # block sizes that minimize padding: split the axis into the same
+    # number of blocks its cap implies, then round the block (not the
+    # axis) up to the tiling granularity
+    ceil_div = lambda a, q: -(-a // q)
+    tb = ceil_div(ceil_div(t, max(1, ceil_div(t, tblock))), 8) * 8
+    vb = ceil_div(ceil_div(v, max(1, ceil_div(v, vblock))), 128) * 128
     fp = (-f) % 128
-    tp = (-t) % 8
+    tp = (-t) % tb
     bp = (-b) % bb
+    vp = (-v) % vb
     padf = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, fp))) if fp else x
     tfft = padf(tfft)
     t2fft = padf(t2fft)
@@ -123,28 +133,25 @@ def ccf_chisq_pallas(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin,
     if bp:
         sfft_conj = jnp.pad(sfft_conj, ((0, 0), (0, bp), (0, 0)))
         ivfft_conj = jnp.pad(ivfft_conj, ((0, 0), (0, bp), (0, 0)))
-    vb = min(vblock, int(np.ceil(v / 128.0)) * 128)
-    vp = (-v) % vb
-    # [ecos; esin] stacked on the (padded) frequency axis, matching
-    # the kernel's [pr, -pi] product layout
-    estack = jnp.concatenate(
-        [jnp.pad(ecos.astype(dt), ((0, fp), (0, vp))),
-         jnp.pad(esin.astype(dt), ((0, fp), (0, vp)))], axis=0)
+    ec = jnp.pad(ecos.astype(dt), ((0, fp), (0, vp)))
+    es = jnp.pad(esin.astype(dt), ((0, fp), (0, vp)))
     t_pad, f_pad, b_pad, v_pad = t + tp, f + fp, b + bp, v + vp
 
     kern = functools.partial(_kernel, bb=bb, continuum=continuum)
     out = pl.pallas_call(
         kern,
-        grid=(b_pad // bb, v_pad // vb),
+        grid=(b_pad // bb, t_pad // tb, v_pad // vb),
         in_specs=[
-            pl.BlockSpec((2, t_pad, f_pad), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((2, t_pad, f_pad), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((2, bb, f_pad), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((2, bb, f_pad), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((2 * f_pad, vb), lambda i, j: (0, j)),
+            pl.BlockSpec((2, tb, f_pad), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((2, tb, f_pad), lambda i, j, k: (0, j, 0)),
+            pl.BlockSpec((2, bb, f_pad), lambda i, j, k: (0, i, 0)),
+            pl.BlockSpec((2, bb, f_pad), lambda i, j, k: (0, i, 0)),
+            pl.BlockSpec((f_pad, vb), lambda i, j, k: (0, k)),
+            pl.BlockSpec((f_pad, vb), lambda i, j, k: (0, k)),
         ],
-        out_specs=pl.BlockSpec((bb, t_pad, vb), lambda i, j: (i, 0, j)),
+        out_specs=pl.BlockSpec((bb, tb, vb),
+                               lambda i, j, k: (i, j, k)),
         out_shape=jax.ShapeDtypeStruct((b_pad, t_pad, v_pad), dt),
         interpret=bool(interpret),
-    )(tfft, t2fft, sfft_conj, ivfft_conj, estack)
+    )(tfft, t2fft, sfft_conj, ivfft_conj, ec, es)
     return out[:b, :t, :v]
