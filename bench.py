@@ -63,6 +63,11 @@ def main():
         log(f'compilation cache unavailable: {exc}')
     import jax.numpy as jnp
     log(f'backend: {jax.default_backend()} devices: {jax.devices()}')
+    from rvspecfit_tpu.ops import pallas_ccf
+    log(f"config: nm_scheme={_os.environ.get('RVST_NM_SCHEME', 'cand4')}"
+        f" pallas_ccf={pallas_ccf.use_pallas_ccf()}"
+        f" pallas_spline={_os.environ.get('RVST_PALLAS_SPLINE', 'auto')}"
+        f" microbatch={MICROBATCH}")
 
     from rvspecfit_tpu import simulation
     from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter

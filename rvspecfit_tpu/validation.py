@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 import numpy as np
@@ -115,14 +116,46 @@ def main(args=None):
                         help='chunked NM for remote TPU backends')
     parser.add_argument('--fatol', type=float, default=None)
     parser.add_argument('--maxiter', type=int, default=None)
+    parser.add_argument('--output', type=str, default=None,
+                        help='also write the stats (plus git rev / '
+                        'device / timestamp provenance) to this JSON '
+                        'file — used for the committed VALIDATION.json '
+                        'calibration artifact')
     args = parser.parse_args(args)
     logging.basicConfig(level=logging.INFO)
+    # honor JAX_PLATFORMS even when a site hook pre-imported jax with
+    # a pinned platform (env alone is ignored once jax is in
+    # sys.modules — same pattern as tests/conftest.py)
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        import jax
+        try:
+            jax.config.update('jax_platforms', plat)
+        except Exception:
+            pass
     stats, _ = run_accuracy(ntrials=args.ntrials, snr=args.snr,
                             npix=args.npix, seed=args.seed,
                             microbatch=args.microbatch,
                             nm_chunk=args.nm_chunk, fatol=args.fatol,
                             maxiter=args.maxiter)
     print(json.dumps(stats))
+    if args.output:
+        import datetime
+        import subprocess
+        import jax
+        rec = dict(stats)
+        try:
+            rec['git_rev'] = subprocess.check_output(
+                ['git', 'rev-parse', 'HEAD'],
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))).decode().strip()
+        except Exception:
+            rec['git_rev'] = 'unknown'
+        rec['device'] = str(jax.devices()[0])
+        rec['backend'] = jax.default_backend()
+        rec['date'] = datetime.datetime.now().isoformat()
+        with open(args.output, 'w') as fp:
+            json.dump(rec, fp, indent=1)
 
 
 if __name__ == '__main__':
