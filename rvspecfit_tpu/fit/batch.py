@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 
 import numpy as np
 import jax
@@ -848,6 +849,7 @@ class BatchedFitter:
         Returns dict with x (B, nvec), fun (B,), moved (B,).
         """
         key = ('polish', mapper.cache_key(), steps,
+               os.environ.get('RVST_POLISH_FREEZE_H') == '1',
                None if priors is None else
                tuple(sorted((k, tuple(v)) for k, v in priors.items())))
         fn = self._objective_cache.get(key)
@@ -876,17 +878,36 @@ class BatchedFitter:
                 return chi + penalty[0]
 
             ladder = jnp.asarray([1.0, 0.25, 0.05])
+            # RVST_POLISH_FREEZE_H=1: evaluate the AD Hessian only on
+            # the first Newton step and reuse it (the gradient is
+            # recomputed every step).  Near the NM optimum the
+            # curvature barely moves between steps, the Hessian is the
+            # dominant cost of the stage (forward-over-reverse ~n
+            # tangents x the gradient cost), and the strict-improvement
+            # ladder below makes a stale direction safe: a fiber only
+            # moves when its chi-square actually decreases.
+            freeze_h = os.environ.get('RVST_POLISH_FREEZE_H') == '1'
 
             def polish_tile(arms_slice, templates, x0, f0):
-                def body(_, carry):
-                    xc, fc = carry
+                def hess_at(xc):
+                    vel, rest = xc[:, 0], xc[:, 1:]
+                    return jax.vmap(
+                        jax.hessian(scalar_obj, argnums=3),
+                        in_axes=(self.arm_axes_ad, None, 0, 0))(
+                            arms_slice, templates, vel, rest)
+
+                def body(i, carry):
+                    xc, fc, h = carry
                     vel, rest = xc[:, 0], xc[:, 1:]
                     g = jax.vmap(jax.grad(scalar_obj, argnums=3),
                                  in_axes=(self.arm_axes_ad, None, 0, 0))(
                                      arms_slice, templates, vel, rest)
-                    h = jax.vmap(jax.hessian(scalar_obj, argnums=3),
-                                 in_axes=(self.arm_axes_ad, None, 0, 0))(
-                                     arms_slice, templates, vel, rest)
+                    if freeze_h:
+                        h = jax.lax.cond(i == 0,
+                                         lambda: hess_at(xc),
+                                         lambda: h)
+                    else:
+                        h = hess_at(xc)
                     dh = jnp.abs(jnp.diagonal(h, axis1=-2, axis2=-1))
                     ridge = 1e-6 * jnp.maximum(dh, 1e-12)
                     hs = h + jax.vmap(jnp.diag)(ridge)
@@ -912,9 +933,12 @@ class BatchedFitter:
                                               0.0), axis=1)
                     better = fbest < fc
                     return (jnp.where(better[:, None], xbest, xc),
-                            jnp.where(better, fbest, fc))
+                            jnp.where(better, fbest, fc), h)
 
-                xf, ff = jax.lax.fori_loop(0, steps, body, (x0, f0))
+                nrest = x0.shape[1] - 1
+                h0 = jnp.zeros((x0.shape[0], nrest, nrest), x0.dtype)
+                xf, ff, _ = jax.lax.fori_loop(0, steps, body,
+                                              (x0, f0, h0))
                 return xf, ff
 
             fn = jax.jit(polish_tile)

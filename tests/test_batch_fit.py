@@ -136,6 +136,34 @@ def test_threaded_warm_then_fit(tm, fiber_data):
     assert np.all(pol['fun'] <= nmres['fun'] + 1e-9)
 
 
+@pytest.mark.slow
+def test_polish_freeze_hessian_equivalent_at_optimum(tm, fiber_data,
+                                                     monkeypatch):
+    """RVST_POLISH_FREEZE_H=1 (Hessian evaluated once, gradient every
+    step) must match the full-Newton polish from production starts
+    (NM optima) — curvature is stable there and the strict-improvement
+    ladder guards against a stale direction.  (From far-off starts the
+    frozen Hessian IS worse — the flag is an opt-in for the
+    second_minimizer stage only.)"""
+    lam, flux, ivar, v0s, truths = fiber_data
+    arm = BatchArm('config1', lam, flux, ivar)
+    bf = BatchedFitter([arm], {'config1': tm}, CONFIG,
+                       options={'npoly': 10})
+    mapper = vel_fit.ParamMapper(
+        tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
+        [], None, False)
+    nmres = bf.run_neldermead(mapper, np.asarray(v0s), maxiter=96,
+                              maxrestart=1)
+    pol = bf.run_polish(mapper, nmres['x'], fun0=nmres['fun'], steps=3)
+    monkeypatch.setenv('RVST_POLISH_FREEZE_H', '1')
+    bf2 = BatchedFitter([arm], {'config1': tm}, CONFIG,
+                        options={'npoly': 10})
+    pol_f = bf2.run_polish(mapper, nmres['x'], fun0=nmres['fun'],
+                           steps=3)
+    assert np.all(pol_f['fun'] <= nmres['fun'] + 1e-9)
+    np.testing.assert_allclose(pol_f['fun'], pol['fun'], atol=2e-2)
+
+
 def test_update_arms_reuses_programs(tm, fiber_data):
     """update_arms swaps fiber data without rebuilding programs and
     matches a freshly-built fitter bit-for-bit."""
