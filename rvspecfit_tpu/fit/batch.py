@@ -566,7 +566,8 @@ class BatchedFitter:
             xatol, np.float64)).tolist())
         pkey = ('nm_packed', mapper.cache_key(),
                 self._priors_key(priors),
-                fatol, xatol_key, chunk)
+                fatol, xatol_key, chunk,
+                os.environ.get('RVST_NM_SCHEME', 'cand4'))
         fns = self._objective_cache.get(pkey)
         if fns is None:
             objective = self._nm_objective(mapper, priors)

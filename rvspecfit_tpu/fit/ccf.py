@@ -295,76 +295,86 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
     vel_grid_d = jnp.asarray(vel_grid)
     total_sse = np.sum([p['sse'] for p in prep], axis=0)   # (B,)
 
-    if microbatch is None:
-        if pallas_ccf.use_pallas_ccf():
-            # the fused kernel has no (tile, T, F) HBM intermediate:
-            # one whole-exposure tile minimizes dispatches (the kernel
-            # tiles the fiber axis internally)
-            microbatch = max(nf, 32)
-        else:
-            ntempl = prep[0]['tfft'].shape[1]
-            nfreq = prep[0]['tfft'].shape[2]
-            budget = 2.8e7  # elements per (tile, T, F) intermediate
-            microbatch = int(budget / max(ntempl * nfreq, 1))
-            microbatch = int(np.clip(microbatch, 32, max(nf, 32)))
-
     best_id = np.zeros(nf, dtype=np.int64)
     best_vel = np.zeros(nf)
     best_chi = np.zeros(nf)
-    # dispatch every tile first (async), then fetch: tiles are
-    # independent, so their device programs queue back-to-back and
-    # only one host round-trip latency is paid for the whole exposure
-    pending = []
-    for i0 in range(0, nf, microbatch):
-        i1 = min(i0 + microbatch, nf)
-        # pad the tail tile to the full tile size: one compile total
-        pad = microbatch - (i1 - i0)
-        contributions = None
-        for p in prep:
-            fdtype = np.dtype(str(p['tfft'].dtype))
-            sl = slice(i0, i1)
-            sfft_c = np.conj(p['sfft'][sl])
-            ivfft_c = np.conj(p['ivfft'][sl])
-            if pad:
-                sfft_c = np.pad(sfft_c, ((0, pad), (0, 0)))
-                ivfft_c = np.pad(ivfft_c, ((0, pad), (0, 0)))
-            pack = lambda c: jnp.asarray(np.stack(
-                [c.real, c.imag]).astype(fdtype))
-            pk = False if _PALLAS_STATE.get('failed') \
-                else pallas_ccf.use_pallas_ccf()
-            cur = None
+    # one retry: if the Pallas kernel fails at runtime (Mosaic
+    # lowering on an unexpected backend), the whole tile pass is
+    # re-run with the XLA formulation AND its matching tile budget —
+    # the kernel's whole-exposure tiles would materialize the
+    # (tile, T, F) intermediate the XLA budget exists to prevent
+    for _attempt in range(2):
+        pk = False if _PALLAS_STATE.get('failed') \
+            else pallas_ccf.use_pallas_ccf()
+        mb = microbatch
+        if mb is None:
             if pk:
-                # fused product-contraction kernel: the (tile, T, F)
-                # complex-product intermediate never reaches HBM
-                try:
-                    cur = pallas_ccf.ccf_chisq_pallas(
-                        p['tfft'], p['t2fft'], pack(sfft_c),
-                        pack(ivfft_c), p['ecos'], p['esin'],
-                        continuum=p['continuum'],
-                        interpret=(pk == 'interpret'))
-                except Exception:
-                    # safety net: a Mosaic lowering failure on an
-                    # unexpected backend must not take the whole fit
-                    # down — fall back to the XLA formulation for the
-                    # rest of the process
-                    logging.exception(
-                        'Pallas CCF kernel failed; falling back to '
-                        'the XLA formulation')
-                    _PALLAS_STATE['failed'] = True
-            if cur is None:
-                fun = _ccf_batch_cont if p['continuum'] \
-                    else _ccf_batch_nocont
-                cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),
-                          pack(ivfft_c), p['ecos'], p['esin'])
-            contributions = cur if contributions is None else \
-                contributions + cur
-        pending.append((i0, i1,
-                        _ccf_reduce(contributions, vel_grid_d)))
-    for i0, i1, (tid, bvel, bchi, _) in pending:
-        n = i1 - i0
-        best_id[i0:i1] = np.asarray(tid)[:n]
-        best_vel[i0:i1] = np.asarray(bvel)[:n]
-        best_chi[i0:i1] = np.asarray(bchi)[:n] + total_sse[i0:i1]
+                # the fused kernel has no (tile, T, F) HBM
+                # intermediate: one whole-exposure tile minimizes
+                # dispatches (the kernel tiles the fiber axis
+                # internally)
+                mb = max(nf, 32)
+            else:
+                ntempl = prep[0]['tfft'].shape[1]
+                nfreq = prep[0]['tfft'].shape[2]
+                budget = 2.8e7  # elements per (tile, T, F) product
+                mb = int(budget / max(ntempl * nfreq, 1))
+                mb = int(np.clip(mb, 32, max(nf, 32)))
+        try:
+            # dispatch every tile first (async), then fetch: tiles
+            # are independent, so their device programs queue
+            # back-to-back and only one host round-trip latency is
+            # paid for the whole exposure
+            pending = []
+            for i0 in range(0, nf, mb):
+                i1 = min(i0 + mb, nf)
+                # pad the tail tile to the full tile size: one
+                # compile total
+                pad = mb - (i1 - i0)
+                contributions = None
+                for p in prep:
+                    fdtype = np.dtype(str(p['tfft'].dtype))
+                    sl = slice(i0, i1)
+                    sfft_c = np.conj(p['sfft'][sl])
+                    ivfft_c = np.conj(p['ivfft'][sl])
+                    if pad:
+                        sfft_c = np.pad(sfft_c, ((0, pad), (0, 0)))
+                        ivfft_c = np.pad(ivfft_c, ((0, pad), (0, 0)))
+                    pack = lambda c: jnp.asarray(np.stack(
+                        [c.real, c.imag]).astype(fdtype))
+                    if pk:
+                        # fused product-contraction kernel: the
+                        # (tile, T, F) complex-product intermediate
+                        # never reaches HBM
+                        cur = pallas_ccf.ccf_chisq_pallas(
+                            p['tfft'], p['t2fft'], pack(sfft_c),
+                            pack(ivfft_c), p['ecos'], p['esin'],
+                            continuum=p['continuum'],
+                            interpret=(pk == 'interpret'))
+                    else:
+                        fun = _ccf_batch_cont if p['continuum'] \
+                            else _ccf_batch_nocont
+                        cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),
+                                  pack(ivfft_c), p['ecos'], p['esin'])
+                    contributions = cur if contributions is None else \
+                        contributions + cur
+                pending.append((i0, i1,
+                                _ccf_reduce(contributions, vel_grid_d)))
+            for i0, i1, (tid, bvel, bchi, _) in pending:
+                n = i1 - i0
+                best_id[i0:i1] = np.asarray(tid)[:n]
+                best_vel[i0:i1] = np.asarray(bvel)[:n]
+                best_chi[i0:i1] = np.asarray(bchi)[:n] + total_sse[i0:i1]
+            break
+        except Exception:
+            if not pk or _attempt:
+                raise
+            # safety net: a Pallas failure on an unexpected backend
+            # must not take the whole fit down — retry once with the
+            # XLA formulation for the rest of the process
+            logging.exception('Pallas CCF kernel failed; falling back '
+                              'to the XLA formulation')
+            _PALLAS_STATE['failed'] = True
 
     params = np.asarray(info0['params'])[best_id]          # (B, ndim)
     vsinis = np.asarray(info0['vsinis'], np.float64)[best_id]

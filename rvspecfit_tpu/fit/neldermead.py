@@ -131,8 +131,15 @@ def make_stepper(fun, fatol=1e-3, xatol=1e-2, chunk=64):
     key = ('stepper', fun, fatol, xatol, chunk, scheme)
     fns = _JIT_CACHE.get(key)
     if fns is None:
-        init_fn = jax.jit(partial(_nm_init, fun, fatol=fatol,
-                                  xatol=xatol))
+        # the init program is scheme-independent (it only evaluates
+        # the starting simplex): share one compiled copy across
+        # schemes so an in-process A/B flip recompiles only the chunk
+        ikey = ('stepper-init', fun, fatol, xatol)
+        init_fn = _JIT_CACHE.get(ikey)
+        if init_fn is None:
+            init_fn = jax.jit(partial(_nm_init, fun, fatol=fatol,
+                                      xatol=xatol))
+            _JIT_CACHE[ikey] = init_fn
         chunk_fn = jax.jit(partial(_nm_chunk, fun, fatol=fatol,
                                    xatol=xatol, chunk=chunk,
                                    scheme=scheme))
@@ -190,7 +197,7 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol,
     tie-breaking (verified against scipy in tests/test_neldermead.py).
 
     Two candidate-evaluation schemes (``RVST_NM_SCHEME`` env, default
-    ``scan2``):
+    ``cand4``):
 
     * ``scan2`` — scipy's literal flow: evaluate the reflection,
       derive ONE second candidate per instance (expansion or a

@@ -66,12 +66,38 @@ def test_fit_batch_end_to_end_interpret(monkeypatch):
     monkeypatch.setenv('RVST_PALLAS_CCF', '0')
     res_xla = _run_small_fit_batch()
     monkeypatch.setenv('RVST_PALLAS_CCF', 'interpret')
+    ccf_mod._PALLAS_STATE.pop('failed', None)
     res_pal = _run_small_fit_batch()
+    # the safety fallback must NOT have fired — otherwise this would
+    # vacuously compare the XLA path against itself
+    assert not ccf_mod._PALLAS_STATE.get('failed'), \
+        'Pallas kernel fell back to XLA during the interpret run'
     np.testing.assert_array_equal(res_pal['best_id'], res_xla['best_id'])
     np.testing.assert_allclose(res_pal['best_vel'], res_xla['best_vel'],
                                atol=1e-2)
     np.testing.assert_allclose(res_pal['best_chi'], res_xla['best_chi'],
                                rtol=1e-4)
+
+
+def test_fit_batch_fallback_on_kernel_failure(monkeypatch):
+    """If the kernel raises (Mosaic lowering failure on an unexpected
+    backend), fit_batch must retry the whole tile pass with the XLA
+    formulation and still return correct results, and stick to XLA for
+    subsequent calls."""
+    monkeypatch.setenv('RVST_PALLAS_CCF', '0')
+    want = _run_small_fit_batch()
+    monkeypatch.setenv('RVST_PALLAS_CCF', 'interpret')
+    ccf_mod._PALLAS_STATE.pop('failed', None)
+
+    def boom(*a, **k):
+        raise RuntimeError('synthetic Mosaic failure')
+    monkeypatch.setattr(pallas_ccf, 'ccf_chisq_pallas', boom)
+    got = _run_small_fit_batch()
+    assert ccf_mod._PALLAS_STATE.get('failed') is True
+    np.testing.assert_array_equal(got['best_id'], want['best_id'])
+    np.testing.assert_allclose(got['best_vel'], want['best_vel'],
+                               atol=1e-9)
+    ccf_mod._PALLAS_STATE.pop('failed', None)
 
 
 def _run_small_fit_batch():
