@@ -138,19 +138,25 @@ def ccf_chisq_pallas(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin,
     t_pad, f_pad, b_pad, v_pad = t + tp, f + fp, b + bp, v + vp
 
     kern = functools.partial(_kernel, bb=bb, continuum=continuum)
+    # grid order (v, t, b) — the last axis iterates innermost, so the
+    # cheapest-to-restream blocks change fastest: the spectrum rows
+    # (0.3 MB) cycle per cell, the bank blocks (2 x 1.1 MB) only per
+    # t step, and the DFT matrices (2 x 2.2 MB) only per v step —
+    # ~170 MB of input traffic per arm call vs ~1.5 GB with the fiber
+    # axis outermost
     out = pl.pallas_call(
         kern,
-        grid=(b_pad // bb, t_pad // tb, v_pad // vb),
+        grid=(v_pad // vb, t_pad // tb, b_pad // bb),
         in_specs=[
-            pl.BlockSpec((2, tb, f_pad), lambda i, j, k: (0, j, 0)),
-            pl.BlockSpec((2, tb, f_pad), lambda i, j, k: (0, j, 0)),
-            pl.BlockSpec((2, bb, f_pad), lambda i, j, k: (0, i, 0)),
-            pl.BlockSpec((2, bb, f_pad), lambda i, j, k: (0, i, 0)),
-            pl.BlockSpec((f_pad, vb), lambda i, j, k: (0, k)),
-            pl.BlockSpec((f_pad, vb), lambda i, j, k: (0, k)),
+            pl.BlockSpec((2, tb, f_pad), lambda v, t, b: (0, t, 0)),
+            pl.BlockSpec((2, tb, f_pad), lambda v, t, b: (0, t, 0)),
+            pl.BlockSpec((2, bb, f_pad), lambda v, t, b: (0, b, 0)),
+            pl.BlockSpec((2, bb, f_pad), lambda v, t, b: (0, b, 0)),
+            pl.BlockSpec((f_pad, vb), lambda v, t, b: (0, v)),
+            pl.BlockSpec((f_pad, vb), lambda v, t, b: (0, v)),
         ],
         out_specs=pl.BlockSpec((bb, tb, vb),
-                               lambda i, j, k: (i, j, k)),
+                               lambda v, t, b: (b, t, v)),
         out_shape=jax.ShapeDtypeStruct((b_pad, t_pad, v_pad), dt),
         interpret=bool(interpret),
     )(tfft, t2fft, sfft_conj, ivfft_conj, ec, es)
