@@ -554,8 +554,12 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
               expid_range=None, ccf_init=True, use_resolution_matrix=False,
               zbest_path=None, zbest_select=False, objtype_mask=None,
               objtypes=None, npoly=10, doplot=False, templates=None,
-              fitarm=None, cmdline=None):
+              fitarm=None, cmdline=None, prehdus=None):
     """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
+
+    ``prehdus``: optionally a pre-read FITS object for ``fname``
+    (proc_many's lookahead thread reads the next file while the
+    current one is fitting on the device).
 
     Returns the number of fitted objects (0 when nothing selected).
     """
@@ -564,7 +568,7 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
         setups = tuple(s for s in setups if s in fitarm)
         if not setups:
             raise RuntimeError('--fitarm excluded every arm')
-    fp = fitsio.read(fname)
+    fp = prehdus if prehdus is not None else fitsio.read(fname)
     if not valid_file(fp, setups):
         raise RuntimeError(f'{fname}: invalid file')
     spectrum_header = fp[0].header
@@ -973,18 +977,72 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
     if status_fname:
         update_process_status_file(status_fname, None, None, 0, 0,
                                    start=True)
-    templates = None
-    for f in files:
-        t0 = time.time()
+
+    def output_paths(f):
         base = os.path.basename(f)
         for pref in ('coadd-', 'spectra-'):
             if base.startswith(pref):
                 base = base[len(pref):]
         base = base.replace('.fits', '')
-        tab_ofname = os.path.join(output_dir,
-                                  f'{output_tab_prefix}-{base}.fits')
-        mod_ofname = os.path.join(output_dir,
-                                  f'{output_mod_prefix}-{base}.fits')
+        return (base,
+                os.path.join(output_dir,
+                             f'{output_tab_prefix}-{base}.fits'),
+                os.path.join(output_dir,
+                             f'{output_mod_prefix}-{base}.fits'))
+
+    # one-file lookahead: while file N fits on the device, a reader
+    # thread loads file N+1's FITS (the dominant host I/O) — the
+    # host-side half of the reference's process-pool overlap (SURVEY
+    # "host-side prefetch + pad-to-batch").  Only for statically-known
+    # file lists: lock-queue inputs claim work on pop, and an early
+    # claim would widen the crash-loss window.
+    if isinstance(files, (list, tuple)):
+        flist = list(files)
+    elif getattr(files, 'queue', True) is False \
+            and getattr(files, 'file_list', None) is not None:
+        flist = list(files.file_list)          # static FileQueue
+    elif getattr(files, 'files', None) is not None:
+        flist = list(files.files)              # ShardedFileQueue
+    else:
+        flist = None
+    slot = {}
+
+    def next_unskipped(i):
+        while flist is not None and i < len(flist):
+            _, tabf, modf = output_paths(flist[i])
+            if not (skipexisting and os.path.exists(tabf)
+                    and os.path.exists(modf)):
+                return flist[i]
+            i += 1
+        return None
+
+    def start_prefetch(nextf):
+        import threading
+        done = threading.Event()
+        holder = {}
+
+        def go():
+            try:
+                holder['fp'] = fitsio.read(nextf)
+            except Exception:
+                holder['fp'] = None
+            done.set()
+        threading.Thread(target=go, daemon=True).start()
+        slot.clear()
+        slot.update(f=nextf, done=done, holder=holder)
+
+    def take_prefetched(f):
+        if slot.get('f') == f:
+            slot['done'].wait()
+            fp = slot['holder'].get('fp')
+            slot.clear()
+            return fp
+        return None
+
+    templates = None
+    for i, f in enumerate(flist if flist is not None else files):
+        t0 = time.time()
+        base, tab_ofname, mod_ofname = output_paths(f)
         if skipexisting and os.path.exists(tab_ofname) \
                 and os.path.exists(mod_ofname):
             logging.info('skipping existing %s', f)
@@ -1013,9 +1071,14 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
             os.makedirs(fdir, exist_ok=True)
             fig_prefix = os.path.join(fdir, f'{figure_prefix}-{base}')
             kw['doplot'] = True
+        prehdus = take_prefetched(f)
+        nxt = next_unskipped(i + 1)
+        if nxt is not None:
+            start_prefetch(nxt)
         nobj = proc_desi_wrapper(f, tab_ofname, mod_ofname, fig_prefix,
                                  config, options or {},
-                                 templates=templates, **kw)
+                                 templates=templates, prehdus=prehdus,
+                                 **kw)
         if status_fname:
             status = PROC_STATUS_SUCCESS if nobj is not None else \
                 PROC_STATUS_FAILURE

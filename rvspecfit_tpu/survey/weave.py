@@ -57,16 +57,20 @@ def valid_file(fp):
 
 def proc_weave(fnames, config, threadid=0, nthreads=1,
                programs=DEFAULT_PROGRAMS, options=None, templates=None,
-               fig_prefix=None):
+               fig_prefix=None, prehdus=None):
     """Fit one WEAVE red(+blue) file pair; returns a dict of columns
-    (None when no fibers are selected)."""
+    (None when no fibers are selected).
+
+    ``prehdus``: optional {fname: FITSFile} of pre-read inputs
+    (proc_many's lookahead thread reads the next group while the
+    current one fits on the device)."""
     options = options or {'npoly': 15}
     if isinstance(fnames, str):
         fnames = fnames.split(',')
     setups = []
     fps = {}
     for f in fnames:
-        fp = fitsio.read(f)
+        fp = (prehdus or {}).get(f) or fitsio.read(f)
         cam = str(fp[0].header.get('CAMERA', '')).replace('WEAVE', '')
         s = {'RED': 'r', 'BLUE': 'b'}.get(cam.strip().upper())
         if s is None:
@@ -221,7 +225,38 @@ def proc_many(file_groups, oprefix, config, threadid=0, nthreads=1,
     if status_fname:
         update_process_status_file(status_fname, None, None, 0, 0,
                                    start=True)
-    for grp in file_groups:
+
+    # one-group lookahead (same pattern as survey/desi.proc_many):
+    # a reader thread loads the next group's FITS files while the
+    # current group fits on the device
+    groups = list(file_groups)
+    slot = {}
+
+    def start_prefetch(grp):
+        import threading
+        done = threading.Event()
+        holder = {}
+        names = grp.split(',') if isinstance(grp, str) else list(grp)
+
+        def go():
+            try:
+                holder['fps'] = {f: fitsio.read(f) for f in names}
+            except Exception:
+                holder['fps'] = None
+            done.set()
+        threading.Thread(target=go, daemon=True).start()
+        slot.clear()
+        slot.update(grp=grp, done=done, holder=holder)
+
+    def take_prefetched(grp):
+        if slot.get('grp') == grp:
+            slot['done'].wait()
+            fps = slot['holder'].get('fps')
+            slot.clear()
+            return fps
+        return None
+
+    for gi, grp in enumerate(groups):
         t0 = time.time()
         base = os.path.basename(str(grp).split(',')[0]).replace(
             '.fits', '')
@@ -234,9 +269,13 @@ def proc_many(file_groups, oprefix, config, threadid=0, nthreads=1,
                                            'SKIPPED', 0,
                                            time.time() - t0)
             continue
+        prehdus = take_prefetched(grp)
+        if gi + 1 < len(groups):
+            start_prefetch(groups[gi + 1])
         try:
             out = proc_weave(grp, config, threadid=threadid,
                              nthreads=nthreads, options=options,
+                             prehdus=prehdus,
                              fig_prefix=(None if fig_prefix is None
                                          else f'{fig_prefix}_{base}'))
         except Exception:

@@ -499,6 +499,24 @@ def test_desi_cli_version_and_param_init(capsys):
                    '--param_init', 'magic'])
 
 
+def test_desi_two_file_prefetch(coadd_file, desi_library, tmp_path):
+    """Multi-file runs go through proc_many's one-file-lookahead
+    prefetch (the FITS read of file N+1 overlaps file N's fit); both
+    outputs must be written and identical for identical inputs."""
+    import shutil
+    fname, truth = coadd_file
+    f2 = str(tmp_path / 'coadd-test2.fits')
+    shutil.copy(fname, f2)
+    outdir = str(tmp_path / 'out_prefetch')
+    desi.main([fname, f2, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--throw_exceptions'])
+    t1 = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
+    t2 = fitsio.read(os.path.join(outdir, 'rvtab-test2.fits'))
+    rv1, rv2 = t1['RVTAB'].data, t2['RVTAB'].data
+    assert len(rv1['VRAD']) == len(rv2['VRAD']) > 0
+    np.testing.assert_array_equal(rv1['VRAD'], rv2['VRAD'])
+
+
 def test_desi_param_init_bruteforce(coadd_file, desi_library, tmp_path):
     """--param_init bruteforce fits without the CCF stage (reference
     desi_fit.py:1799-1805): first guess comes from the template-grid
