@@ -53,14 +53,8 @@ def main():
     import jax
     # persistent compilation cache: remote-compile TPU backends pay
     # tens of seconds per program; cache across bench invocations
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             '.jax_cache')
-    try:
-        jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-    except Exception as exc:
-        log(f'compilation cache unavailable: {exc}')
+    from rvspecfit_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     log(f'backend: {jax.default_backend()} devices: {jax.devices()}')
     from rvspecfit_tpu.ops import pallas_ccf
@@ -107,6 +101,8 @@ def main():
         tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
         [], None, False)
 
+    last_stats = {}
+
     def pipeline(bf, verbose=False):
         t = [time.time()]
         # CCF initialization over the whole exposure (the production
@@ -127,6 +123,8 @@ def main():
         # owning the endgame (see BatchedFitter.run_neldermead)
         nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
         t.append(time.time())
+        last_stats['obj_evals'] = nmres.get('obj_evals', 0)
+        last_stats['nm_wall'] = t[-1] - t[-2]
         xbest, fun = nmres['x'], nmres['fun']
         if config['second_minimizer']:
             pol = bf.run_polish(mapper, xbest, fun0=fun, steps=3)
@@ -179,6 +177,21 @@ def main():
         jax.profiler.stop_trace()
         log(f'JAX profiler trace written to {profile_dir}')
     fps = NFIBERS / elapsed
+
+    if os.environ.get('RVST_MFU') == '1':
+        # price one NM fiber-trial via XLA's own flop count and
+        # convert the steady pass' dispatched trials into an
+        # achieved-FLOP/s / MFU figure (see rvspecfit_tpu/perf.py for
+        # the caveats — Pallas ops are invisible to the count, so this
+        # is a lower bound)
+        from rvspecfit_tpu import perf
+        ncand = 2 if os.environ.get('RVST_NM_SCHEME') == 'scan2' else 4
+        fpt = perf.objective_flops_per_trial(bf, mapper, ncand=ncand)
+        if fpt:
+            log(f'MFU: {fpt / 1e6:.2f} MFLOP/fiber-trial x '
+                f"{last_stats['obj_evals']} trials; "
+                + perf.mfu_report(fpt * last_stats['obj_evals'],
+                                  last_stats['nm_wall']))
 
     dv = ref['best_vel'] - truth['vel']
     ok = np.abs(dv) < np.maximum(10.0, 5 * ref['vel_err'])

@@ -779,14 +779,23 @@ class BatchedFitter:
             fvals_h[sel] = p[:, np1 * nvec:np1 * nvec + np1]
             done_h[sel] = p[:, -1] > 0.5
 
+        # objective-evaluation accounting (padded fiber-trials actually
+        # dispatched) — lets callers convert flops/trial into an
+        # achieved-FLOP/s / MFU figure for the NM phase (bench RVST_MFU)
+        ncand = 2 if os.environ.get('RVST_NM_SCHEME') == 'scan2' else 4
+        evals = [0]
+
         def eval_init(idx):
             # dispatch every tile first (async), then fetch: tiles of
             # one round are independent, so their device programs
             # overlap and only one round-trip latency is paid
-            outs = [(sel, init_p(jnp.asarray(simplex_h[sel_p], dt),
-                                 jnp.asarray(sel_p, jnp.int32),
-                                 self.arms, self.templates))
-                    for sel, sel_p in tiles_of(idx)]
+            outs = []
+            for sel, sel_p in tiles_of(idx):
+                evals[0] += sel_p.size * np1
+                outs.append((sel, init_p(
+                    jnp.asarray(simplex_h[sel_p], dt),
+                    jnp.asarray(sel_p, jnp.int32),
+                    self.arms, self.templates)))
             for sel, packed in outs:
                 unpack_to_host(sel, packed)
 
@@ -809,13 +818,15 @@ class BatchedFitter:
                     break
                 logging.info('NM restart %d nit %d: %d/%d unconverged',
                               restart, nit, undone.size, b)
-                outs = [(sel, chunk_p(
-                    jnp.asarray(simplex_h[sel_p], dt),
-                    jnp.asarray(fvals_h[sel_p], dt),
-                    jnp.asarray(done_h[sel_p]),
-                    jnp.asarray(sel_p, jnp.int32),
-                    self.arms, self.templates))
-                    for sel, sel_p in tiles_of(undone)]
+                outs = []
+                for sel, sel_p in tiles_of(undone):
+                    evals[0] += sel_p.size * chunk * ncand
+                    outs.append((sel, chunk_p(
+                        jnp.asarray(simplex_h[sel_p], dt),
+                        jnp.asarray(fvals_h[sel_p], dt),
+                        jnp.asarray(done_h[sel_p]),
+                        jnp.asarray(sel_p, jnp.int32),
+                        self.arms, self.templates)))
                 for sel, packed in outs:
                     unpack_to_host(sel, packed)
                 nit += chunk
@@ -823,7 +834,7 @@ class BatchedFitter:
         rows = np.arange(b)
         ib = np.argmin(fvals_h, axis=1)
         return dict(x=simplex_h[rows, ib], fun=fvals_h[rows, ib],
-                    converged=done_h.copy())
+                    converged=done_h.copy(), obj_evals=evals[0])
 
     def run_polish(self, mapper, x, priors=None, steps=2, fun0=None):
         """Batched gradient polish — the ``second_minimizer`` stage.

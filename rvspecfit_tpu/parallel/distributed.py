@@ -50,11 +50,37 @@ def init_distributed(coordinator=None, num_processes=None,
     return pid, nproc
 
 
-def barrier(name='rvspecfit_tpu_barrier'):
-    """Cross-host sync point (no-op in a single-process world)."""
+def barrier(name='rvspecfit_tpu_barrier', timeout_ms=None):
+    """Cross-host sync point (no-op in a single-process world).
+
+    Uses the coordination-service barrier, which blocks on *processes*
+    — NOT ``multihost_utils.sync_global_devices``, which reduces over
+    ``jax.devices()`` and passes trivially when each rank is pinned to
+    its own local backend (e.g. ``JAX_PLATFORMS=cpu`` ranks see one
+    device each).  A trivial pre-shutdown barrier lets the fastest
+    rank reach ``jax.distributed.shutdown()``'s ~5-minute internal
+    barrier while slow ranks are still fitting, and the coordination
+    service then kills the whole world (observed on the 2-rank
+    integration test).  Timeout defaults to 6 h
+    (``RVST_BARRIER_TIMEOUT_MS`` overrides) — end-of-run skew between
+    ranks is bounded by one file's fit time, not by the exposure.
+    """
     import jax
 
     if jax.process_count() <= 1:
+        return
+    if timeout_ms is None:
+        timeout_ms = int(os.environ.get('RVST_BARRIER_TIMEOUT_MS',
+                                        6 * 3600 * 1000))
+    try:
+        from jax._src.distributed import global_state
+        client = global_state.client
+    except Exception as exc:  # private API moved — fall back
+        logging.warning('coordination client unavailable (%s); '
+                        'falling back to sync_global_devices', exc)
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_ms))
         return
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(name)

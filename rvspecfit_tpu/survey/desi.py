@@ -1174,6 +1174,13 @@ def main(args=None):
     if args.version:
         print(__version__)
         return
+    # honor JAX_PLATFORMS even under site hooks that pre-imported jax
+    # (a cpu-pinned rank must never touch a pinned TPU backend)
+    utils.honor_jax_platforms_env()
+    # persistent compilation cache: fleet processes (queue consumers,
+    # per-rank shards) relaunch identical programs — only the first
+    # process ever compiles (override dir/off: RVST_COMPILE_CACHE)
+    utils.enable_compilation_cache()
     if args.overwrite is not None:
         logging.warning('overwrite keyword is meaningless now')
     if args.param_init not in ('CCF', 'bruteforce'):

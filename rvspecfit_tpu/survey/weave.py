@@ -346,6 +346,10 @@ def main(args=None):
     parser.add_argument('--log_level', type=str, default='WARNING')
     args = parser.parse_args(args)
 
+    from rvspecfit_tpu import utils as _utils
+    _utils.honor_jax_platforms_env()
+    _utils.enable_compilation_cache()
+
     log_fname = args.log
     if log_fname is not None and '%d' in log_fname:
         log_fname = log_fname % args.threadid

@@ -20,6 +20,55 @@ import yaml
 from rvspecfit_tpu.frozendict import frozendict
 
 
+def honor_jax_platforms_env():
+    """Mirror ``JAX_PLATFORMS`` into jax.config (idempotent).
+
+    Site hooks that pre-import jax pin the platform before the
+    process' environment can take effect — once jax is in
+    sys.modules, the env var alone is ignored, and a driver launched
+    with ``JAX_PLATFORMS=cpu`` would still try to initialize the
+    pinned TPU backend (and hang when the tunnel is down).  Every
+    production entry point calls this right after argument parsing.
+    """
+    plat = os.environ.get('JAX_PLATFORMS')
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update('jax_platforms', plat)
+    except Exception as exc:
+        logging.warning('could not set jax platform %r: %s', plat, exc)
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Point JAX at a persistent compilation cache (idempotent).
+
+    Every production entry point calls this: multi-process fleets
+    (lock-queue consumers, per-rank shards) relaunch the same programs
+    constantly, and on remote-compile TPU backends each program pays
+    tens of seconds — with the cache, only the first process ever
+    compiles.  Default location is ``<repo>/.jax_cache`` (shared with
+    bench.py); override with ``RVST_COMPILE_CACHE`` (``=0`` or
+    ``=off`` disables).
+    """
+    env = os.environ.get('RVST_COMPILE_CACHE')
+    if env in ('0', 'off'):
+        return False
+    if cache_dir is None:
+        cache_dir = env or os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '.jax_cache')
+    try:
+        import jax
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          0.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+        return True
+    except Exception as exc:
+        logging.warning('compilation cache unavailable: %s', exc)
+        return False
+
+
 def get_default_config():
     """Default fit configuration (keys mirror the reference semantics,
     reference: py/rvspecfit/utils.py:9-28)."""

@@ -126,13 +126,10 @@ def main(args=None):
     # honor JAX_PLATFORMS even when a site hook pre-imported jax with
     # a pinned platform (env alone is ignored once jax is in
     # sys.modules — same pattern as tests/conftest.py)
-    plat = os.environ.get('JAX_PLATFORMS')
-    if plat:
-        import jax
-        try:
-            jax.config.update('jax_platforms', plat)
-        except Exception:
-            pass
+    from rvspecfit_tpu.utils import (enable_compilation_cache,
+                                     honor_jax_platforms_env)
+    honor_jax_platforms_env()
+    enable_compilation_cache()
     stats, _ = run_accuracy(ntrials=args.ntrials, snr=args.snr,
                             npix=args.npix, seed=args.seed,
                             microbatch=args.microbatch,

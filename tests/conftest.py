@@ -29,6 +29,13 @@ jax.config.update('jax_enable_x64', True)
 assert jax.devices()[0].platform == 'cpu'
 assert len(jax.devices()) == 8, 'expected a virtual 8-device CPU mesh'
 
+# persistent compilation cache: repeated suite runs on this host skip
+# XLA recompiles (the AD-Hessian program alone is ~109 s); entries are
+# keyed by HLO hash, so code changes can never hit stale programs
+from rvspecfit_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -450,7 +450,9 @@ def test_desi_two_process_multihost(coadd_file, desi_library, tmp_path):
             env=env, cwd=os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
     for p in procs:
-        assert p.wait(timeout=1200) == 0
+        # generous: two ranks share this host's single CPU, and a cold
+        # compilation cache means each compiles the full pipeline
+        assert p.wait(timeout=2400) == 0
 
     # both output tables exist and carry fitted rows
     for base in ('test', 'test2'):
