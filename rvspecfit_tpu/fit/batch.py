@@ -552,8 +552,13 @@ class BatchedFitter:
         return objective
 
     def nm_xatol(self, mapper):
-        """Default scale-normalized NM tolerance (see run_neldermead)."""
-        return tuple(mapper.scales().astype(np.float64) * 0.08)
+        """Default scale-normalized NM tolerance (see run_neldermead).
+
+        Kept in sync with run_neldermead's default so warm() compiles
+        the program the production call will actually use."""
+        return tuple(mapper.scales().astype(np.float64)
+                     * float(os.environ.get('RVST_NM_XATOL_FRAC',
+                                            '0.08')))
 
     def _nm_programs(self, mapper, priors, fatol, xatol, chunk):
         """Jitted (init, chunk) NM programs returning ONE packed array
@@ -732,15 +737,25 @@ class BatchedFitter:
             # endgame, so NM only needs to deliver the basin (on-chip
             # sweep: 8% + polish reproduces the 3% optima to median
             # dchi2 +0.002 at 2/3 the NM wall time)
-            xatol = tuple(scales * 0.08)
+            xatol = tuple(scales * float(os.environ.get(
+                'RVST_NM_XATOL_FRAC', '0.08')))
         chunk = int(nm_chunk or min(64, maxiter))
         mb = self.microbatch or b
         dt = self.dtype
         init_p, chunk_p = self._nm_programs(mapper, priors, fatol,
                                             xatol, chunk)
 
+        # initial-simplex size: a fraction of the natural scales.
+        # The CCF start is typically within a few km/s / one grid cell
+        # of the optimum, so a smaller-than-natural first simplex can
+        # converge in fewer iterations; sweepable on chip without
+        # recompiles (the simplex is program INPUT, not a constant).
+        # Restart simplexes always use the full scales — their job is
+        # escaping a collapsed simplex, not refining a good one.
+        sim_scale = float(os.environ.get('RVST_NM_SIMPLEX_SCALE', '1.0'))
         simplex_h = np.array(
-            nm.build_simplex(jnp.asarray(x0), scales, seed=vf.SIMPLEX_SEED),
+            nm.build_simplex(jnp.asarray(x0), scales * sim_scale,
+                             seed=vf.SIMPLEX_SEED),
             np.float64)                                   # (B, n+1, n)
         fvals_h = np.zeros((b, np1))
         done_h = np.zeros(b, bool)

@@ -344,11 +344,27 @@ def main(args=None):
                         'restart; %%d expands to the thread id')
     parser.add_argument('--log', type=str, default=None)
     parser.add_argument('--log_level', type=str, default='WARNING')
+    parser.add_argument('--coordinator', type=str, default=None,
+                        help='host:port of the jax.distributed '
+                        'coordinator; enables the multi-host world '
+                        '(threadid/nthreads default to the world '
+                        'rank/size — same model as rvst_desi_fit)')
     args = parser.parse_args(args)
 
     from rvspecfit_tpu import utils as _utils
     _utils.honor_jax_platforms_env()
     _utils.enable_compilation_cache()
+
+    # opt-in multi-host world: the world rank/size drive the same
+    # static striping the reference's nthreads/threadid convention
+    # uses (reference weave_fit.py:364-369)
+    use_world = bool(args.coordinator
+                     or os.environ.get('JAX_COORDINATOR_ADDRESS'))
+    if use_world:
+        from rvspecfit_tpu.parallel import distributed
+        pid, nproc = distributed.init_distributed(args.coordinator)
+        if args.nthreads == 1 and args.threadid == 0:
+            args.threadid, args.nthreads = pid, nproc
 
     log_fname = args.log
     if log_fname is not None and '%d' in log_fname:
@@ -381,11 +397,18 @@ def main(args=None):
     if args.doplot:
         os.makedirs(args.figure_dir, exist_ok=True)
         fig_prefix = os.path.join(args.figure_dir, args.figure_prefix)
-    proc_many(files, outdir, config,
-              threadid=args.threadid, nthreads=args.nthreads,
-              options={'npoly': args.npoly}, overwrite=args.overwrite,
-              status_fname=status_fname, fig_prefix=fig_prefix,
-              output_tab_prefix=args.output_tab_prefix)
+    try:
+        proc_many(files, outdir, config,
+                  threadid=args.threadid, nthreads=args.nthreads,
+                  options={'npoly': args.npoly},
+                  overwrite=args.overwrite,
+                  status_fname=status_fname, fig_prefix=fig_prefix,
+                  output_tab_prefix=args.output_tab_prefix)
+    finally:
+        if use_world:
+            from rvspecfit_tpu.parallel import distributed
+            distributed.barrier('rvst_weave_fit_done')
+            distributed.shutdown()
 
 
 if __name__ == '__main__':

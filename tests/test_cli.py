@@ -84,3 +84,43 @@ def test_mask_grid(tmp_path):
     with sqlite3.connect(str(out)) as conn:
         bad = dict(conn.execute('SELECT filename, bad FROM files'))
     assert bad['f1.fits'] == 0 and bad['f0.fits'] == 1
+
+
+def test_weave_coordinator_wiring(monkeypatch, tmp_path):
+    """--coordinator maps the world rank/size onto the WEAVE driver's
+    threadid/nthreads striping and tears the world down afterwards."""
+    from rvspecfit_tpu.parallel import distributed
+    from rvspecfit_tpu.survey import weave
+
+    calls = {}
+    monkeypatch.setattr(distributed, 'init_distributed',
+                        lambda coord=None, n=None, p=None:
+                        calls.setdefault('init', coord) and None
+                        or (1, 3))
+    monkeypatch.setattr(distributed, 'barrier',
+                        lambda name=None, timeout_ms=None:
+                        calls.setdefault('barrier', name))
+    monkeypatch.setattr(distributed, 'shutdown',
+                        lambda: calls.setdefault('shutdown', True))
+    monkeypatch.setattr(weave, 'proc_many',
+                        lambda files, outdir, config, **kw:
+                        calls.setdefault('proc', kw))
+    flist = tmp_path / 'in.txt'
+    flist.write_text('a.fits,b.fits\n')
+    weave.main(['--input_file', str(flist),
+                '--output_dir', str(tmp_path),
+                '--coordinator', 'localhost:1234'])
+    assert calls['init'] == 'localhost:1234'
+    assert calls['proc']['threadid'] == 1
+    assert calls['proc']['nthreads'] == 3
+    assert calls['barrier'] == 'rvst_weave_fit_done'
+    assert calls['shutdown'] is True
+
+    # explicit threadid/nthreads win over the world indices
+    calls.clear()
+    weave.main(['--input_file', str(flist),
+                '--output_dir', str(tmp_path),
+                '--coordinator', 'localhost:1234',
+                '--threadid', '2', '--nthreads', '5'])
+    assert calls['proc']['threadid'] == 2
+    assert calls['proc']['nthreads'] == 5
