@@ -579,21 +579,25 @@ class BatchedFitter:
             init_raw, chunk_raw = nm.make_stepper(objective, fatol=fatol,
                                                   xatol=xatol, chunk=chunk)
 
-            def pack(s, f, d):
+            def pack(s, f, d, it):
+                # layout: [simplex | fvals | done | iters-executed]
                 bb = s.shape[0]
                 return jnp.concatenate(
-                    [s.reshape(bb, -1), f, d[:, None].astype(s.dtype)],
-                    axis=1)
+                    [s.reshape(bb, -1), f, d[:, None].astype(s.dtype),
+                     jnp.broadcast_to(
+                         jnp.asarray(it, s.dtype)[None, None],
+                         (bb, 1))], axis=1)
 
             # the tile's fiber gather happens IN-GRAPH (idx arg):
             # zero extra dispatches per tile, and XLA fuses the
             # gather into the first consumers
             init_p = jax.jit(lambda s, idx, arms, templ: pack(
                 *init_raw(s, gather_arm_states(arms, idx),
-                          templ)[:3]))
+                          templ)[:3], 0))
             chunk_p = jax.jit(lambda s, f, d, idx, arms, templ: pack(
-                *chunk_raw(s, f, d, gather_arm_states(arms, idx),
-                           templ)[:3]))
+                *(lambda o: (o[0], o[1], o[2], o[4]))(
+                    chunk_raw(s, f, d, gather_arm_states(arms, idx),
+                              templ))))
             fns = (init_p, chunk_p)
             self._objective_cache[pkey] = fns
         return fns
@@ -788,15 +792,19 @@ class BatchedFitter:
                 yield sel, sel_p
 
         def unpack_to_host(sel, packed):
+            # packed layout: [simplex | fvals | done | iters-executed]
             k = sel.size
             p = np.asarray(packed, np.float64)[:k]
             simplex_h[sel] = p[:, :np1 * nvec].reshape(k, np1, nvec)
             fvals_h[sel] = p[:, np1 * nvec:np1 * nvec + np1]
-            done_h[sel] = p[:, -1] > 0.5
+            done_h[sel] = p[:, -2] > 0.5
+            return int(p[0, -1])
 
         # objective-evaluation accounting (padded fiber-trials actually
-        # dispatched) — lets callers convert flops/trial into an
-        # achieved-FLOP/s / MFU figure for the NM phase (bench RVST_MFU)
+        # EXECUTED — chunk programs exit early once a tile converges
+        # and report the iteration count) — lets callers convert
+        # flops/trial into an achieved-FLOP/s / MFU figure for the NM
+        # phase (bench RVST_MFU)
         ncand = 2 if os.environ.get('RVST_NM_SCHEME') == 'scan2' else 4
         evals = [0]
 
@@ -835,15 +843,15 @@ class BatchedFitter:
                               restart, nit, undone.size, b)
                 outs = []
                 for sel, sel_p in tiles_of(undone):
-                    evals[0] += sel_p.size * chunk * ncand
-                    outs.append((sel, chunk_p(
+                    outs.append((sel, sel_p.size, chunk_p(
                         jnp.asarray(simplex_h[sel_p], dt),
                         jnp.asarray(fvals_h[sel_p], dt),
                         jnp.asarray(done_h[sel_p]),
                         jnp.asarray(sel_p, jnp.int32),
                         self.arms, self.templates)))
-                for sel, packed in outs:
-                    unpack_to_host(sel, packed)
+                for sel, w, packed in outs:
+                    it_done = unpack_to_host(sel, packed)
+                    evals[0] += w * it_done * ncand
                 nit += chunk
 
         rows = np.arange(b)

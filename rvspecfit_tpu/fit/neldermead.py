@@ -91,9 +91,9 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
         simplex, fvals, done, alldone = init_fn(simplex, *fun_args)
         nit = 0
         while nit < maxiter and not bool(alldone):
-            simplex, fvals, done, alldone = chunk_fn(
+            simplex, fvals, done, alldone, it = chunk_fn(
                 simplex, fvals, done, *fun_args)
-            nit += chunk
+            nit += int(it)
         simplex, fvals = _sorted_simplex(simplex, fvals)
         return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
                     nit=nit, final_simplex=simplex)
@@ -120,7 +120,9 @@ def make_stepper(fun, fatol=1e-3, xatol=1e-2, chunk=64):
 
     ``init_fn(simplex, *fun_args) -> (simplex, fvals, done, alldone)``
     evaluates the starting simplex; ``chunk_fn(simplex, fvals, done,
-    *fun_args)`` advances ``chunk`` iterations.  A host driver can
+    *fun_args) -> (simplex, fvals, done, alldone, iters)`` advances up
+    to ``chunk`` iterations (early exit once the whole tile
+    converges).  A host driver can
     repack unconverged instances into fewer tiles between chunks
     (straggler compaction) — both programs are shape-polymorphic only
     in recompilation, so keep tile shapes fixed.
@@ -314,14 +316,25 @@ def _nm_init(fun, simplex, *fun_args, fatol, xatol):
 
 def _nm_chunk(fun, simplex, fvals, done, *fun_args, fatol, xatol, chunk,
               scheme=None):
-    def body(_, state):
-        s, f, d = state
-        return _nm_body(fun, fun_args, s, f, d, fatol, xatol,
-                        scheme=scheme)
+    """Advance up to ``chunk`` iterations, exiting EARLY once every
+    instance in the tile has converged (bit-identical to running the
+    full chunk — converged instances are frozen by the done mask — but
+    straggler tiles whose last fibers converge mid-chunk stop paying
+    for the rest).  Also returns the iteration count actually
+    executed, for exact objective-evaluation accounting."""
+    def cond(state):
+        it, s, f, d = state
+        return (it < chunk) & ~jnp.all(d)
 
-    simplex, fvals, done = jax.lax.fori_loop(
-        0, chunk, body, (simplex, fvals, done))
-    return simplex, fvals, done, jnp.all(done)
+    def body(state):
+        it, s, f, d = state
+        s, f, d = _nm_body(fun, fun_args, s, f, d, fatol, xatol,
+                           scheme=scheme)
+        return it + 1, s, f, d
+
+    it, simplex, fvals, done = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), simplex, fvals, done))
+    return simplex, fvals, done, jnp.all(done), it
 
 
 def _minimize_core(fun, simplex, *fun_args, fatol, xatol, maxiter,

@@ -49,10 +49,12 @@ def fitter_and_mapper():
 def test_run_neldermead_counts_objective_evals(fitter_and_mapper):
     bf, mapper = fitter_and_mapper
     res = bf.run_neldermead(mapper, np.zeros(NFIB), maxiter=64)
-    # at least the simplex init (n+1 per fiber) plus one 64-iteration
-    # chunk of 4 candidates per fiber must have been dispatched
+    # at least the simplex init (n+1 per fiber) plus some executed
+    # NM iterations (4 candidates each) must be counted; the chunk
+    # program exits early when the tile converges, so the exact count
+    # is data-dependent
     nvec = len(mapper.start_vector(0.0))
-    assert res['obj_evals'] >= NFIB * (nvec + 1 + 64 * 4)
+    assert res['obj_evals'] > NFIB * (nvec + 1)
 
 
 def test_objective_flops_per_trial_positive(fitter_and_mapper):
