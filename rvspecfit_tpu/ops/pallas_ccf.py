@@ -72,8 +72,8 @@ def use_pallas_ccf():
 
 def _kernel(t_ref, t2_ref, s_ref, iv_ref, ec_ref, es_ref, o_ref, *, bb,
             continuum):
-    from rvspecfit_tpu.ops.prec import matmul_precision
-    hp = matmul_precision('ccf')
+    from rvspecfit_tpu.ops.prec import pallas_precision
+    hp = pallas_precision('ccf')
     ar, ai = t_ref[0], t_ref[1]          # (tb, Fp) bank block
     a2r, a2i = t2_ref[0], t2_ref[1]
     ec = ec_ref[...]                     # (Fp, vb)

@@ -49,3 +49,18 @@ def matmul_precision(role):
     if name not in _MAP:
         raise ValueError(f'unknown precision {name!r} for role {role!r}')
     return _MAP[name]
+
+
+def pallas_precision(role):
+    """Precision for dots INSIDE Pallas TPU kernels.
+
+    Mosaic's dot lowering accepts only DEFAULT and HIGHEST
+    (jax/_src/pallas/mosaic/lowering.py maps them to the MXU's native
+    and fp32 contract modes; HIGH raises NotImplementedError).  Clamp
+    HIGH up to HIGHEST — the fused kernels exist to kill HBM traffic,
+    so the extra MXU passes are off the critical path — and leave the
+    XLA-side programs free to keep bf16x3.
+    """
+    p = matmul_precision(role)
+    return jax.lax.Precision.HIGHEST if p == jax.lax.Precision.HIGH \
+        else p
