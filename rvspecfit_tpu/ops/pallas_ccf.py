@@ -138,6 +138,18 @@ def ccf_chisq_pallas(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin,
     t_pad, f_pad, b_pad, v_pad = t + tp, f + fp, b + bp, v + vp
 
     kern = functools.partial(_kernel, bb=bb, continuum=continuum)
+    # fp32-contract (HIGHEST) dots need more matmul scratch than the
+    # default 16 MiB scoped-VMEM budget allows at these block shapes
+    # (measured 17.6 MiB at B=500); v5e cores carry 128 MiB of VMEM,
+    # so raise the scope rather than shrink the blocks
+    compiler_params = None
+    if not interpret:
+        try:
+            from jax.experimental.pallas import tpu as pltpu
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024)
+        except (ImportError, TypeError):
+            pass
     # grid order (v, t, b) — the last axis iterates innermost, so the
     # cheapest-to-restream blocks change fastest: the spectrum rows
     # (0.3 MB) cycle per cell, the bank blocks (2 x 1.1 MB) only per
@@ -159,5 +171,7 @@ def ccf_chisq_pallas(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin,
                                lambda v, t, b: (b, t, v)),
         out_shape=jax.ShapeDtypeStruct((b_pad, t_pad, v_pad), dt),
         interpret=bool(interpret),
+        **({} if compiler_params is None
+           else dict(compiler_params=compiler_params)),
     )(tfft, t2fft, sfft_conj, ivfft_conj, ec, es)
     return out[:b, :t, :v]
