@@ -181,6 +181,18 @@ def _ccf_batch_nocont(tfft, t2fft, sfft_conj, ivfft_conj, ecos, esin):
     return -(c0 * c0) / c1
 
 
+@functools.partial(jax.jit, static_argnames=('mb',))
+def _slice_fibers(x, i0, mb):
+    """Device slice of an (2, B, F) packed-FFT array along fibers —
+    traced start, so every tile reuses one compiled program."""
+    return jax.lax.dynamic_slice_in_dim(x, i0, mb, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=('mb',))
+def _pad_fibers(x, mb):
+    return jnp.pad(x, ((0, 0), (0, mb - x.shape[1]), (0, 0)))
+
+
 @jax.jit
 def _ccf_reduce(chis, vel_grid):
     """Per-fiber best template + parabola-refined velocity.
@@ -231,12 +243,17 @@ def prepare_arm_batch(setup, lam, fluxes, especs, badmask, config,
     ccfconf = info['ccfconf']
 
     from rvspecfit_tpu.ops import continuum as continuum_mod
-    proc, pivar = continuum_mod.preprocess_batch(
+    import time as _time
+    _t0 = _time.time()
+    # device-resident preprocess + rfft: one program per arm whose
+    # packed conjugate FFT outputs stay on device — the previous
+    # host-side chain shipped ~100 MB of spectrum FFTs per 500-fiber
+    # exposure over the (slow) host->device link every call
+    sfft_conj, ivfft_conj, sse = continuum_mod.preprocess_fft_batch(
         lam, np.atleast_2d(fluxes), np.atleast_2d(especs),
         badmask=badmask, ccfconf=ccfconf)
-    sse = (proc**2 * pivar).sum(axis=1)               # (B,)
-    sfft = np.fft.rfft(proc * pivar, axis=1)
-    ivfft = np.fft.rfft(pivar, axis=1)
+    logging.debug('ccf prepare_arm_batch %s: preprocess+fft %.2fs '
+                  '(dispatch)', setup, _time.time() - _t0)
 
     nvelgrid = 2 * int(maxvel / (config.get('vel_step0') or 2)) + 1
     vel_grid = np.linspace(-maxvel, maxvel, nvelgrid)
@@ -244,7 +261,8 @@ def prepare_arm_batch(setup, lam, fluxes, especs, badmask, config,
                    / ccfconf['npoints']) - 1) * 3e5
     ecos, esin = _dft_mats(ccfconf, vel_grid)
     return dict(setup=setup, info=info, models=models, velstep=step,
-                tfft=tfft, t2fft=t2fft, sfft=sfft, ivfft=ivfft, sse=sse,
+                tfft=tfft, t2fft=t2fft, sfft_conj=sfft_conj,
+                ivfft_conj=ivfft_conj, sse=sse,
                 vel_grid=vel_grid, ecos=ecos, esin=esin,
                 continuum=bool(ccfconf['continuum']))
 
@@ -280,8 +298,11 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
     best_vsini (B,; NaN where the bank template had no rotation),
     best_id (B,), best_chi (B,), vel_grid.
     """
+    import time as _time
+    _t0 = _time.time()
     prep = [prepare_arm_batch(s, lam, fl, er, bm, config, banks=banks)
             for s, lam, fl, er, bm in arm_batches]
+    _t_prep = _time.time() - _t0
     info0 = prep[0]['info']
     for p in prep[1:]:
         cur = p['info']
@@ -290,10 +311,14 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
                 or not np.array_equal(info0['vsinis'], cur['vsinis'])):
             raise RuntimeError('CCF template parameters differ between '
                                'setups')
-    nf = prep[0]['sfft'].shape[0]
+    nf = prep[0]['sfft_conj'].shape[1]
     vel_grid = prep[0]['vel_grid']
     vel_grid_d = jnp.asarray(vel_grid)
-    total_sse = np.sum([p['sse'] for p in prep], axis=0)   # (B,)
+    # per-arm sse are async device values: summing on device keeps the
+    # whole prep stage non-blocking (fetched once after tile dispatch)
+    total_sse_d = prep[0]['sse']
+    for p in prep[1:]:
+        total_sse_d = total_sse_d + p['sse']
 
     best_id = np.zeros(nf, dtype=np.int64)
     best_vel = np.zeros(nf)
@@ -325,46 +350,61 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
             # are independent, so their device programs queue
             # back-to-back and only one host round-trip latency is
             # paid for the whole exposure
+            _t1 = _time.time()
+            # tile starts: tail tiles RE-START at nf-mb (overlapping
+            # fibers recompute identically) instead of padding — the
+            # exposure FFTs are device-resident, so slices come from
+            # one traced dynamic-slice program, not host padding
+            if nf <= mb:
+                starts = [0]
+            else:
+                starts = list(range(0, nf - mb + 1, mb))
+                if starts[-1] + mb < nf:
+                    starts.append(nf - mb)
             pending = []
-            for i0 in range(0, nf, mb):
+            for i0 in starts:
                 i1 = min(i0 + mb, nf)
-                # pad the tail tile to the full tile size: one
-                # compile total
-                pad = mb - (i1 - i0)
                 contributions = None
                 for p in prep:
-                    fdtype = np.dtype(str(p['tfft'].dtype))
-                    sl = slice(i0, i1)
-                    sfft_c = np.conj(p['sfft'][sl])
-                    ivfft_c = np.conj(p['ivfft'][sl])
-                    if pad:
-                        sfft_c = np.pad(sfft_c, ((0, pad), (0, 0)))
-                        ivfft_c = np.pad(ivfft_c, ((0, pad), (0, 0)))
-                    pack = lambda c: jnp.asarray(np.stack(
-                        [c.real, c.imag]).astype(fdtype))
+                    if nf < mb:
+                        sfft_c = _pad_fibers(p['sfft_conj'], mb)
+                        ivfft_c = _pad_fibers(p['ivfft_conj'], mb)
+                    elif mb == nf:
+                        sfft_c = p['sfft_conj']
+                        ivfft_c = p['ivfft_conj']
+                    else:
+                        sfft_c = _slice_fibers(p['sfft_conj'], i0, mb)
+                        ivfft_c = _slice_fibers(p['ivfft_conj'], i0,
+                                                mb)
                     if pk:
                         # fused product-contraction kernel: the
                         # (tile, T, F) complex-product intermediate
                         # never reaches HBM
                         cur = pallas_ccf.ccf_chisq_pallas(
-                            p['tfft'], p['t2fft'], pack(sfft_c),
-                            pack(ivfft_c), p['ecos'], p['esin'],
+                            p['tfft'], p['t2fft'], sfft_c, ivfft_c,
+                            p['ecos'], p['esin'],
                             continuum=p['continuum'],
                             interpret=(pk == 'interpret'))
                     else:
                         fun = _ccf_batch_cont if p['continuum'] \
                             else _ccf_batch_nocont
-                        cur = fun(p['tfft'], p['t2fft'], pack(sfft_c),
-                                  pack(ivfft_c), p['ecos'], p['esin'])
+                        cur = fun(p['tfft'], p['t2fft'], sfft_c,
+                                  ivfft_c, p['ecos'], p['esin'])
                     contributions = cur if contributions is None else \
                         contributions + cur
                 pending.append((i0, i1,
                                 _ccf_reduce(contributions, vel_grid_d)))
+            _t2 = _time.time()
+            total_sse = np.asarray(total_sse_d, np.float64)
             for i0, i1, (tid, bvel, bchi, _) in pending:
                 n = i1 - i0
                 best_id[i0:i1] = np.asarray(tid)[:n]
                 best_vel[i0:i1] = np.asarray(bvel)[:n]
                 best_chi[i0:i1] = np.asarray(bchi)[:n] + total_sse[i0:i1]
+            logging.debug(
+                'ccf fit_batch timings: prep %.2fs dispatch %.2fs '
+                'fetch %.2fs (pallas=%s, mb=%d)', _t_prep, _t2 - _t1,
+                _time.time() - _t2, bool(pk), mb)
             break
         except Exception:
             if not pk or _attempt:

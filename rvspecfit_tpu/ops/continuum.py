@@ -278,3 +278,202 @@ def preprocess_batch(lam, specs, especs, badmask=None, ccfconf=None,
         lw[None, :]**2 * riv + rw[None, :]**2 * liv
         + ((liv * riv) == 0).astype(int))
     return proc, pivar
+
+
+# ---------------------------------------------------------------------
+# Device-resident preprocessing: the same chain as preprocess_batch but
+# compiled into ONE jitted program per arm shape whose outputs (packed
+# spectrum/ivar FFTs + sum-of-squares) STAY on the device.  Rationale:
+# on remote TPU runtimes the measured CCF wall time is dominated by
+# host work + host->device transfer of the spectrum FFTs (~100 MB per
+# 500-fiber exposure), not by the correlation compute; uploading the
+# raw (B, npix) arm instead (~8 MB) and doing medfilt/infill/continuum/
+# resample/rfft on device removes both.  Numerics are the exact same
+# algorithms (golden-tested against scipy per-object references on the
+# f64 CPU rig by tests/test_continuum.py::test_preprocess_fft_*).
+
+def _medfilt11_jnp(specs):
+    """scipy.signal.medfilt(x, 11) row-wise: zero-padded width-11
+    sliding median as a sort over 11 shifted copies."""
+    b, npix = specs.shape
+    pad = jnp.pad(specs, ((0, 0), (5, 5)))
+    win = jnp.stack([pad[:, k:k + npix] for k in range(11)], axis=-1)
+    return jnp.sort(win, axis=-1)[..., 5]
+
+
+def _infill_jnp(lam, specs, badmask):
+    """infill_bad_pixels, jnp (identical semantics; fully-masked rows
+    fall back to the input with non-finite values set to 1)."""
+    b, npix = specs.shape
+    good = ~badmask
+    cols = jnp.arange(npix)
+    li = jax.lax.cummax(jnp.where(good, cols, -1), axis=1)
+    ri = -jax.lax.cummax(
+        jnp.where(good, -cols, -npix)[:, ::-1], axis=1)[:, ::-1]
+    li_c = jnp.clip(li, 0, npix - 1)
+    ri_c = jnp.clip(ri, 0, npix - 1)
+    sl = jnp.take_along_axis(specs, li_c, axis=1)
+    sr = jnp.take_along_axis(specs, ri_c, axis=1)
+    ll = lam[li_c]
+    lr = lam[ri_c]
+    denom = lr - ll
+    interp = (sl * (lr - lam[None, :]) + sr * (lam[None, :] - ll)) \
+        / jnp.where(denom == 0, 1.0, denom)
+    has_l = li >= 0
+    has_r = ri <= npix - 1
+    filled = jnp.where(has_l & has_r,
+                       jnp.where(denom == 0, sl, interp),
+                       jnp.where(has_l, sl, sr))
+    out = jnp.where(badmask, filled, specs)
+    allbad = ~jnp.any(good, axis=1)
+    fallback = jnp.where(jnp.isfinite(specs), specs, 1.0)
+    return jnp.where(allbad[:, None], fallback, out)
+
+
+def _binned_median_jnp(cspec, binidx, bin_lo, bin_hi, bin_empty):
+    """Per-fiber median of ``cspec`` within static wavelength bins.
+
+    binidx : (nb, maxw) pixel indices per bin, -1 padded;
+    bin_lo/bin_hi : (nb,) static sorted positions of the two middle
+    elements (equal when the bin count is odd); bin_empty : (nb,) bool.
+    Returns (B, nb) with NaN for empty bins — matching
+    _binned_median's output contract.
+    """
+    gathered = cspec[:, jnp.clip(binidx, 0, cspec.shape[1] - 1)]
+    gathered = jnp.where(binidx[None, :, :] < 0, jnp.inf, gathered)
+    srt = jnp.sort(gathered, axis=-1)                  # (B, nb, maxw)
+    take = lambda pos: jnp.take_along_axis(
+        srt, pos[None, :, None], axis=-1)[..., 0]
+    med = 0.5 * (take(bin_lo) + take(bin_hi))
+    return jnp.where(bin_empty[None, :], jnp.nan, med)
+
+
+@functools.partial(jax.jit, static_argnames=('continuum', 'niter',
+                                             'maxerr'))
+def _preprocess_fft_core(specs, especs, badmask, lam, phi,
+                         binidx, bin_lo, bin_hi, bin_empty,
+                         li, rw, insub, *, continuum, niter, maxerr):
+    """Mask -> infill -> robust continuum -> normalize -> log-lambda
+    resample -> rfft -> packed conjugate FFTs, all on device.
+
+    li/rw/insub : (npoints,) static resampling gather (left index,
+    right weight, in-range mask) precomputed on the host from the arm
+    grid; out-of-range entries of li are clipped to valid range and
+    masked by ``insub``.
+    Returns (sfft_conj (2, B, F), ivfft_conj (2, B, F), sse (B,)).
+    """
+    mederr = jnp.nanmedian(especs, axis=1)
+    if continuum:
+        filt = _medfilt11_jnp(specs)
+        badmask = badmask | (especs > maxerr * mederr[:, None]) \
+            | (filt <= 0)
+    cesp = jnp.where(badmask, 1e9 * mederr[:, None], especs)
+    cspec = _infill_jnp(lam, specs, badmask)
+    if continuum:
+        # initial node values: log binned medians (fit_continuum's p0)
+        medspec = jnp.median(cspec, axis=1)
+        bad_med = medspec <= 0
+        medspec = jnp.where(bad_med,
+                            jnp.abs(medspec) + (medspec == 0), medspec)
+        binned = _binned_median_jnp(cspec, binidx, bin_lo, bin_hi,
+                                    bin_empty)
+        p0 = jnp.log(jnp.maximum(binned, 1e-3 * medspec[:, None]))
+        p0 = jnp.where(jnp.isfinite(p0), p0,
+                       jnp.log(medspec)[:, None])
+        p, _ = _irls_core(phi, cspec, cesp, p0, niter)
+        cont = jnp.exp(jnp.clip(
+            jnp.einsum('pi,bi->bp', phi, p,
+                       precision=jax.lax.Precision.HIGHEST),
+            -100.0, 100.0))
+    else:
+        cont = jnp.ones_like(cspec)
+    civar = jnp.where(badmask, 0.0, 1.0 / cesp**2)
+    medv = jnp.median(cspec, axis=1)
+    cont = jnp.where((medv > 0)[:, None],
+                     jnp.maximum(1e-2 * medv[:, None], cont),
+                     jnp.maximum(cont, 1.0))
+    nspec = jnp.where(badmask, 0.0, specs / cont)
+    civar = cont**2 * civar
+
+    ri = jnp.clip(li + 1, 0, specs.shape[1] - 1)
+    lic = jnp.clip(li, 0, specs.shape[1] - 1)
+    lw = 1.0 - rw
+    proc = insub * (lw[None, :] * nspec[:, lic]
+                    + rw[None, :] * nspec[:, ri])
+    liv, riv = civar[:, lic], civar[:, ri]
+    pivar = insub * (liv * riv / (lw[None, :]**2 * riv
+                                  + rw[None, :]**2 * liv
+                                  + ((liv * riv) == 0)))
+
+    sse = jnp.sum(proc * proc * pivar, axis=1)
+    sfft = jnp.fft.rfft(proc * pivar, axis=1)
+    ivfft = jnp.fft.rfft(pivar, axis=1)
+    pack_conj = lambda c: jnp.stack([c.real, -c.imag], axis=0)
+    return pack_conj(sfft), pack_conj(ivfft), sse
+
+
+def _resample_aux(lam, ccfconf, dtype):
+    ccf_logl = np.linspace(ccfconf['logl0'], ccfconf['logl1'],
+                           ccfconf['npoints'])
+    ccf_lam = np.exp(ccf_logl)
+    xind = np.searchsorted(lam, ccf_lam) - 1
+    insub = (xind >= 0) & (xind <= len(lam) - 2)
+    lic = np.clip(xind, 0, len(lam) - 2)
+    rw = np.where(insub,
+                  (ccf_lam - lam[lic]) / (lam[lic + 1] - lam[lic]), 0.0)
+    return (jnp.asarray(xind.astype(np.int32)),
+            jnp.asarray(rw.astype(dtype)),
+            jnp.asarray(insub.astype(dtype)))
+
+
+def _bin_aux(lam, edges):
+    which = np.searchsorted(edges, lam, side='right') - 1
+    nb = len(edges) - 1
+    counts = np.array([(which == b).sum() for b in range(nb)])
+    maxw = max(int(counts.max()), 1)
+    binidx = np.full((nb, maxw), -1, np.int64)
+    for b in range(nb):
+        sel = np.nonzero(which == b)[0]
+        binidx[b, :len(sel)] = sel
+    lo = np.maximum((counts - 1) // 2, 0)
+    hi = np.maximum(counts // 2, 0)
+    return (jnp.asarray(binidx.astype(np.int32)),
+            jnp.asarray(lo.astype(np.int32)),
+            jnp.asarray(hi.astype(np.int32)),
+            jnp.asarray(counts == 0))
+
+
+def preprocess_fft_batch(lam, specs, especs, badmask=None, ccfconf=None,
+                         maxerr=10, niter=40):
+    """Device-resident preprocess + rfft of one stacked arm.
+
+    Same preprocessing chain as ``preprocess_batch`` followed by the
+    CCF's spectrum/ivar rFFTs, compiled into one program whose outputs
+    never leave the device: returns (sfft_conj (2, B, F) packed
+    real/imag device array, ivfft_conj (2, B, F), sse (B,) device
+    array).  Nothing blocks: all three outputs are async device
+    values, so successive arms (and the downstream correlation
+    programs) queue back-to-back on the device.
+    """
+    dtype = jnp.zeros(0).dtype
+    lam = np.asarray(lam, np.float64)
+    specs = np.atleast_2d(np.asarray(specs))
+    especs = np.atleast_2d(np.asarray(especs))
+    if badmask is None:
+        badmask = np.zeros(specs.shape, bool)
+    badmask = np.atleast_2d(np.asarray(badmask, bool))
+
+    nodes, edges = spline_nodes(lam, ccfconf['splinestep'])
+    phi = spline_design_matrix(lam, nodes)
+    binidx, bin_lo, bin_hi, bin_empty = _bin_aux(lam, edges)
+    li, rw, insub = _resample_aux(lam, ccfconf, dtype)
+
+    sfft_c, ivfft_c, sse = _preprocess_fft_core(
+        jnp.asarray(specs.astype(dtype)),
+        jnp.asarray(especs.astype(dtype)),
+        jnp.asarray(badmask), jnp.asarray(lam.astype(dtype)),
+        jnp.asarray(np.asarray(phi, np.float64).astype(dtype)),
+        binidx, bin_lo, bin_hi, bin_empty, li, rw, insub,
+        continuum=bool(ccfconf['continuum']), niter=niter,
+        maxerr=maxerr)
+    return sfft_c, ivfft_c, sse

@@ -125,3 +125,59 @@ def test_preprocess_batch_matches_per_object_reference():
                                    err_msg=f'fiber {i} spec')
         np.testing.assert_allclose(got_iv[i], r2, rtol=1e-3, atol=1e-8,
                                    err_msg=f'fiber {i} ivar')
+
+
+def _fft_reference(lam, spec, espec, badmask, ccfconf):
+    """Host-chain reference for the device-resident preprocess+FFT:
+    preprocess_batch (itself golden-tested above) followed by the CCF's
+    packed conjugate rFFTs."""
+    proc, pivar = C.preprocess_batch(lam, spec, espec, badmask=badmask,
+                                     ccfconf=ccfconf)
+    sfft = np.fft.rfft(proc * pivar, axis=1)
+    ivfft = np.fft.rfft(pivar, axis=1)
+    sse = (proc**2 * pivar).sum(axis=1)
+    pack_conj = lambda c: np.stack([c.real, -c.imag])
+    return pack_conj(sfft), pack_conj(ivfft), sse
+
+
+def test_preprocess_fft_batch_matches_host_chain():
+    """Device-resident preprocess+rfft == host preprocess_batch + numpy
+    rfft (same algorithms, one jitted program)."""
+    lam, spec, espec, badmask = _make_batch(b=4)
+    ref_s, ref_iv, ref_sse = _fft_reference(lam, spec, espec, badmask,
+                                            CCFCONF)
+    got_s, got_iv, got_sse = C.preprocess_fft_batch(
+        lam, spec, espec, badmask=badmask, ccfconf=CCFCONF)
+    got_s, got_iv = np.asarray(got_s), np.asarray(got_iv)
+    scale_s = np.abs(ref_s).max()
+    scale_iv = np.abs(ref_iv).max()
+    np.testing.assert_allclose(got_s, ref_s, rtol=1e-6,
+                               atol=1e-9 * scale_s)
+    np.testing.assert_allclose(got_iv, ref_iv, rtol=1e-6,
+                               atol=1e-9 * scale_iv)
+    np.testing.assert_allclose(got_sse, ref_sse, rtol=1e-8)
+
+
+def test_preprocess_fft_batch_nocontinuum():
+    ccfconf = dict(CCFCONF, continuum=False)
+    lam, spec, espec, badmask = _make_batch(b=4, seed=5)
+    ref_s, ref_iv, ref_sse = _fft_reference(lam, spec, espec, badmask,
+                                            ccfconf)
+    got_s, got_iv, got_sse = C.preprocess_fft_batch(
+        lam, spec, espec, badmask=badmask, ccfconf=ccfconf)
+    np.testing.assert_allclose(np.asarray(got_s), ref_s, rtol=1e-7,
+                               atol=1e-10 * np.abs(ref_s).max())
+    np.testing.assert_allclose(np.asarray(got_iv), ref_iv, rtol=1e-7,
+                               atol=1e-10 * np.abs(ref_iv).max())
+    np.testing.assert_allclose(got_sse, ref_sse, rtol=1e-9)
+
+
+def test_preprocess_fft_batch_no_badmask():
+    lam, spec, espec, _ = _make_batch(b=4, seed=3)
+    ref_s, ref_iv, ref_sse = _fft_reference(lam, spec, espec, None,
+                                            CCFCONF)
+    got_s, got_iv, got_sse = C.preprocess_fft_batch(
+        lam, spec, espec, badmask=None, ccfconf=CCFCONF)
+    np.testing.assert_allclose(np.asarray(got_s), ref_s, rtol=1e-6,
+                               atol=1e-9 * np.abs(ref_s).max())
+    np.testing.assert_allclose(got_sse, ref_sse, rtol=1e-8)
