@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NFIBERS = 500
 NPIX_ARM = 1024
-MICROBATCH = 125
+MICROBATCH = int(os.environ.get('PROF_MICROBATCH', '125'))
 K = 4
 R = 20  # repetitions inside the loop
 
