@@ -1,14 +1,18 @@
-"""On-chip sweep of the NM iteration budget vs fit quality.
+"""On-chip A/B of the gradient-polish stage configurations.
 
-The gradient polish + velocity refinement own the fit endgame, so the
-NM stage only needs to deliver the right basin; this sweep measures
-how small its iteration budget can go before RV/parameter recovery or
-the final chi-square degrade (round-3 throughput work: NM is ~2/3 of
-the steady-state wall).
+The polish (``second_minimizer``) costs ~1.6 s of the 9.7 s steady
+exposure; its dominant device cost is the per-step AD Hessian
+(forward-over-reverse, ~n tangents x the gradient cost).  This sweep
+measures, from one shared NM result:
 
-All configs share the same compiled programs (maxiter/maxrestart/steps
-are host-loop bounds, not traced constants), so the sweep costs one
-warm-up plus one steady pass per config.
+* steps 3 vs 2 (the step ladder already tries fractional steps, so
+  fewer Newton iterations may suffice), and
+* RVST_POLISH_FREEZE_H=1 (Hessian evaluated once per tile, gradient
+  every step) vs the default re-evaluated Hessian,
+
+against wall time, the post-refine chi-square, and RV recovery.
+Quality gate: median/95p delta-chi-square vs the best configuration
+and the fraction of fibers worse by >1.
 """
 import json
 import os
@@ -72,47 +76,47 @@ def main():
              for a in arms], config, banks=banks, microbatch=125)
     x0 = np.concatenate([cres['best_vel'][:, None],
                          cres['best_params']], axis=1)
+    nmres = bf.run_neldermead(mapper, cres['best_vel'], x0=x0)
+    print(f'shared NM done: {int(nmres["converged"].sum())}/{NFIBERS} '
+          'converged', flush=True)
 
-    def run(maxiter, maxrestart, steps):
-        t0 = time.time()
-        nmres = bf.run_neldermead(mapper, cres['best_vel'], x0=x0,
-                                  maxiter=maxiter, maxrestart=maxrestart)
-        t_nm = time.time() - t0
+    def run(steps, freeze_h):
+        if freeze_h:
+            os.environ['RVST_POLISH_FREEZE_H'] = '1'
+        else:
+            os.environ.pop('RVST_POLISH_FREEZE_H', None)
+        # warm (first call compiles/ingests), then time a steady call
+        bf.run_polish(mapper, nmres['x'], fun0=nmres['fun'],
+                      steps=steps)
         t0 = time.time()
         pol = bf.run_polish(mapper, nmres['x'], fun0=nmres['fun'],
                             steps=steps)
         t_pol = time.time() - t0
-        xbest, fun = pol['x'], pol['fun']
+        vel_b, params_b, _ = mapper.unpack_host(pol['x'])
         t0 = time.time()
-        vel_b, params_b, _ = mapper.unpack_host(xbest)
         ref = bf.refine_velocities(vel_b, params_b)
         t_ref = time.time() - t0
         dv = ref['best_vel'] - truth['vel']
-        return dict(t_nm=round(t_nm, 2), t_pol=round(t_pol, 2),
-                    t_ref=round(t_ref, 2),
-                    fun=np.asarray(fun, np.float64),
+        return dict(t_pol=round(t_pol, 2), t_ref=round(t_ref, 2),
+                    fun=np.asarray(pol['fun'], np.float64),
+                    nmoved=int(pol['moved'].sum()),
                     med_adv=round(float(np.median(np.abs(dv))), 4),
                     p95_adv=round(float(np.percentile(np.abs(dv), 95)),
-                                  3),
-                    nconv=int(nmres['converged'].sum()))
+                                  3))
 
-    configs = [(384, 2, 3), (384, 2, 3), (192, 2, 3), (128, 2, 3),
-               (128, 1, 3), (64, 1, 4), (64, 1, 3)]
-    base_fun = None
-    for i, (mi, mr, st) in enumerate(configs):
-        r = run(mi, mr, st)
-        if i == 0:
-            print(f'warm-up pass done ({r["t_nm"]:.1f}s NM)', flush=True)
-            continue
-        if base_fun is None:
-            base_fun = r['fun']
+    configs = [(3, False), (3, True), (2, False), (2, True)]
+    results = []
+    for steps, fh in configs:
+        r = run(steps, fh)
+        results.append((steps, fh, r))
+    base_fun = results[0][2]['fun']
+    for steps, fh, r in results:
         dchi = r['fun'] - base_fun
-        out = dict(maxiter=mi, maxrestart=mr, steps=st,
-                   t_nm=r['t_nm'], t_pol=r['t_pol'], t_ref=r['t_ref'],
+        out = dict(steps=steps, freeze_h=fh, t_pol=r['t_pol'],
+                   t_ref=r['t_ref'], nmoved=r['nmoved'],
                    med_adv=r['med_adv'], p95_adv=r['p95_adv'],
-                   nconv=r['nconv'],
                    med_dchi=round(float(np.median(dchi)), 4),
-                   p95_dchi=round(float(np.percentile(dchi, 95)), 3),
+                   p95_dchi=round(float(np.percentile(dchi, 95)), 4),
                    n_dchi_gt1=int((dchi > 1.0).sum()))
         print(json.dumps(out), flush=True)
 
