@@ -193,6 +193,30 @@ def _read_header(fp):
     return Header(cards)
 
 
+# FITS stores only signed integers; unsigned types use the TZERO /
+# BZERO offset convention (TSCAL/BSCALE 1, offset 2^(bits-1)), and
+# signed bytes use offset -128.  Adding the offset equals flipping the
+# sign bit, so the exact conversion is a view + XOR — no overflow, no
+# float round-trip (the reference relies on astropy for this).
+_UNSIGNED_OFFSETS = {
+    'I': (1 << 15, np.uint16), 'J': (1 << 31, np.uint32),
+    'K': (1 << 63, np.uint64),
+}
+
+
+def _apply_scaling(col, code, tscal, tzero):
+    """Apply TSCAL/TZERO to a native-order integer/float column."""
+    if tscal == 1 and tzero == 0:
+        return col
+    if tscal == 1 and code in _UNSIGNED_OFFSETS and \
+            tzero == _UNSIGNED_OFFSETS[code][0]:
+        off, udt = _UNSIGNED_OFFSETS[code]
+        return col.view(udt) ^ udt(off)
+    if tscal == 1 and code == 'B' and tzero == -128:
+        return (col.view(np.uint8) ^ np.uint8(0x80)).view(np.int8).copy()
+    return col * float(tscal) + float(tzero)
+
+
 def _read_data(fp, header):
     naxis = int(header.get('NAXIS', 0))
     xt = str(header.get('XTENSION', '')).strip().upper()
@@ -228,12 +252,18 @@ def _read_data(fp, header):
         if rec_dt.itemsize != nbytes_row:
             raise IOError(f'BINTABLE row size mismatch: dtype '
                           f'{rec_dt.itemsize} vs NAXIS1 {nbytes_row}')
-        raw = fp.read(nbytes_row * nrows)
-        data = np.frombuffer(raw, dtype=rec_dt, count=nrows)
+        # fromfile reads straight into the record array (no transient
+        # bytes copy): peak memory stays ~1x the HDU size plus one
+        # column during conversion — real coadds reach GBs
+        data = np.fromfile(fp, dtype=rec_dt, count=nrows)
+        if len(data) < nrows:
+            raise IOError('Truncated FITS table data')
         pcount = int(header.get('PCOUNT', 0))
         pad = (-(nbytes_row * nrows + pcount)) % BLOCK
-        fp.read(pcount + pad)
-        # convert logicals ('T'/'F' bytes) and byte order
+        fp.seek(pcount + pad, 1)
+        # convert logicals ('T'/'F' bytes), byte order, and TSCAL/TZERO
+        # column scaling (real survey products store unsigned ints via
+        # the TZERO convention; the reference gets this from astropy)
         out = {}
         for i in range(1, tfields + 1):
             name = str(header.get(f'TTYPE{i}', f'col{i}')).strip()
@@ -247,24 +277,28 @@ def _read_data(fp, header):
                 col = np.char.rstrip(col)
             else:
                 col = col.astype(col.dtype.newbyteorder('='))
+                col = _apply_scaling(col, code,
+                                     header.get(f'TSCAL{i}', 1),
+                                     header.get(f'TZERO{i}', 0))
             out[name] = col
         return out
 
-    # image
+    # image: fromfile avoids a transient bytes copy (memory stays ~1x
+    # the HDU size even for GB-scale coadd arrays)
     bitpix = int(header['BITPIX'])
     dt = np.dtype(_BITPIX_TO_DTYPE[bitpix])
     count = int(np.prod(shape))
-    raw = fp.read(count * dt.itemsize)
-    if len(raw) < count * dt.itemsize:
+    arr = np.fromfile(fp, dtype=dt, count=count)
+    if arr.size < count:
         raise IOError('Truncated FITS data')
-    arr = np.frombuffer(raw, dtype=dt, count=count)
     arr = arr.reshape(shape[::-1])
-    fp.read((-count * dt.itemsize) % BLOCK)
+    fp.seek((-count * dt.itemsize) % BLOCK, 1)
     arr = arr.astype(arr.dtype.newbyteorder('='))
     bscale = header.get('BSCALE', 1)
     bzero = header.get('BZERO', 0)
     if bscale != 1 or bzero != 0:
-        arr = arr * bscale + bzero
+        code = {16: 'I', 32: 'J', 64: 'K', 8: 'B'}.get(bitpix)
+        arr = _apply_scaling(arr, code, bscale, bzero)
     return arr
 
 
@@ -334,6 +368,13 @@ def _image_hdu_bytes(data, extra_cards, primary, name=None):
         cards += [('BITPIX', 8, ''), ('NAXIS', 0, '')]
     else:
         data = np.asarray(data)
+        bzero_card = None
+        if data.dtype.kind == 'u' and data.dtype.itemsize in (2, 4, 8):
+            # unsigned image via the BZERO convention (exact)
+            nbytes = data.dtype.itemsize
+            off = 1 << (nbytes * 8 - 1)
+            data = (data ^ data.dtype.type(off)).view(f'i{nbytes}')
+            bzero_card = ('BZERO', off, 'unsigned-integer offset')
         kind = (data.dtype.kind, data.dtype.itemsize)
         if data.dtype.kind == 'b':
             data = data.astype('u1')
@@ -351,6 +392,8 @@ def _image_hdu_bytes(data, extra_cards, primary, name=None):
                   ('NAXIS', data.ndim, '')]
         for i, n in enumerate(data.shape[::-1]):
             cards.append((f'NAXIS{i + 1}', int(n), ''))
+        if bzero_card is not None:
+            cards.append(bzero_card)
     if not primary:
         cards += [('PCOUNT', 0, ''), ('GCOUNT', 1, '')]
     if name:
@@ -369,8 +412,20 @@ def _table_hdu_bytes(columns, extra_cards, name=None, units=None,
     or unicode/byte string arrays.  ``units``/``comments`` optionally
     map column names to TUNITn values / TTYPEn comments."""
     fields = []
+    tzeros = {}
     for cname, col in columns:
         col = np.asarray(col)
+        # unsigned ints / signed bytes have no native FITS type: store
+        # sign-bit-flipped with the matching TZERO (exact round-trip;
+        # see _apply_scaling)
+        if col.dtype.kind == 'u' and col.dtype.itemsize in (2, 4, 8):
+            nbytes = col.dtype.itemsize
+            off = 1 << (nbytes * 8 - 1)
+            col = (col ^ col.dtype.type(off)).view(f'i{nbytes}')
+            tzeros[cname] = off
+        elif col.dtype.kind == 'i' and col.dtype.itemsize == 1:
+            col = col.view(np.uint8) ^ np.uint8(0x80)
+            tzeros[cname] = -128
         if col.dtype.kind in 'US':
             width = int(col.dtype.itemsize
                         // (4 if col.dtype.kind == 'U' else 1))
@@ -417,6 +472,9 @@ def _table_hdu_bytes(columns, extra_cards, name=None, units=None,
     for i, (cname, tform, _, _) in enumerate(fields, start=1):
         cards.append((f'TTYPE{i}', cname, str(comments.get(cname, ''))))
         cards.append((f'TFORM{i}', tform, ''))
+        if cname in tzeros:
+            cards.append((f'TZERO{i}', tzeros[cname],
+                          'unsigned-integer offset'))
         if cname in units and units[cname]:
             cards.append((f'TUNIT{i}', str(units[cname]), ''))
     if name:

@@ -540,3 +540,82 @@ def test_desi_param_init_bruteforce(coadd_file, desi_library, tmp_path):
     dv = rv['VRAD'][ok] - truth['vel'][tids[ok]]
     lim = np.maximum(10.0, 5 * rv['VRAD_ERR'][ok])
     assert (np.abs(dv) < lim).all()
+
+
+def test_target_column_dispatch():
+    """Column dispatch mirrors desitarget.targets.main_cmx_or_sv:
+    commissioning first, then SV, then main (reference:
+    desi_fit.py:495-521)."""
+    col, table = desi.target_column({'DESI_TARGET': None})
+    assert col == 'DESI_TARGET' and table['MWS_ANY'] == 61
+    col, table = desi.target_column({'SV3_DESI_TARGET': None,
+                                     'DESI_TARGET': None})
+    assert col == 'SV3_DESI_TARGET' and table['LRG_LOWDENS'] == 3
+    col, table = desi.target_column({'CMX_TARGET': None,
+                                     'SV1_DESI_TARGET': None})
+    assert col == 'CMX_TARGET' and 'STD_FAINT' in table
+    assert desi.target_column({'TARGETID': None}) == (None, None)
+    # SV mask resolves MWS/STD names at the pinned bits
+    m = desi.objtypes_to_mask(['MWS_.*', 'STD_.*'],
+                              desi.TARGET_COLUMN_TABLES[3][1],
+                              'SV3_DESI_TARGET')
+    assert m == (1 << 61) | (1 << 33) | (1 << 34) | (1 << 35)
+
+
+def _rewrite_with_sv3_fibermap(fname, out):
+    """Copy a coadd, renaming FIBERMAP's DESI_TARGET column to
+    SV3_DESI_TARGET with the MWS_ANY bit set (an EDR-style file)."""
+    f = fitsio.read(fname)
+    specs = [dict(kind='image', data=None)]
+    for h in f.hdus[1:]:
+        if isinstance(h.data, dict):
+            cols = []
+            for n, v in h.data.items():
+                if n == 'DESI_TARGET':
+                    cols.append(('SV3_DESI_TARGET',
+                                 np.full(len(v), 1 << 61, np.int64)))
+                else:
+                    cols.append((n, v))
+            specs.append(dict(kind='table', data=cols, name=h.name))
+        else:
+            specs.append(dict(kind='image', data=h.data, name=h.name))
+    fitsio.write(out, specs)
+
+
+def test_desi_sv3_objtypes_selection(coadd_file, desi_library, tmp_path):
+    """--objtypes on an SV3-style coadd (the public EDR layout) selects
+    via SV3_DESI_TARGET: MWS regexes now select every good fiber, and
+    a non-matching science regex selects nothing (VERDICT r3 #3)."""
+    fname, truth = coadd_file
+    f_sv3 = str(tmp_path / 'coadd-sv3.fits')
+    _rewrite_with_sv3_fibermap(fname, f_sv3)
+
+    outdir = str(tmp_path / 'out_sv3')
+    desi.main([f_sv3, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--objtypes', 'MWS_.*,STD_.*',
+               '--throw_exceptions'])
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-sv3.fits'))
+    rv = tab['RVTAB'].data
+    assert len(rv['VRAD']) == NFIB - 1
+    for i in range(NFIB - 1):
+        assert abs(rv['VRAD'][i] - truth['vel'][i]) < \
+            max(10, 5 * rv['VRAD_ERR'][i]), f'fiber {i}'
+
+    outdir2 = str(tmp_path / 'out_sv3_elg')
+    desi.main([f_sv3, '--output_dir', outdir2, '--templ_lib',
+               desi_library, '--objtypes', 'ELG',
+               '--throw_exceptions'])
+    tab2 = fitsio.read(os.path.join(outdir2, 'rvtab-sv3.fits'))
+    assert len(tab2['RVTAB'].data['VRAD']) == 0
+
+
+def test_prewarm_cli(coadd_file, desi_library):
+    """rvst_prewarm runs the production driver on a synthetic
+    throwaway exposure (shapes from --like), leaving the persistent
+    compilation cache populated and no outputs behind (VERDICT r3
+    next #7)."""
+    from rvspecfit_tpu.pipeline import prewarm
+    fname, _ = coadd_file
+    rc = prewarm.main(['--like', fname, '--templ_lib', desi_library,
+                       '--nfibers', '4', '--log_level', 'WARNING'])
+    assert rc == 0

@@ -70,3 +70,51 @@ def test_overwrite_protection(tmp_path):
     with pytest.raises(IOError):
         fitsio.write(fn, [dict(kind='image', data=np.zeros(4))],
                      overwrite=False)
+
+
+def test_unsigned_tzero_roundtrip(tmp_path):
+    """Unsigned ints round-trip exactly via the TZERO convention
+    (VERDICT r3 #5: real survey products store e.g. TARGETID-adjacent
+    flag columns as TZERO'd unsigned; astropy gives the reference this
+    for free)."""
+    fn = str(tmp_path / 'utab.fits')
+    cols = [
+        ('U16', np.array([0, 1, 2**15, 2**16 - 1], np.uint16)),
+        ('U32', np.array([0, 7, 2**31, 2**32 - 1], np.uint32)),
+        ('U64', np.array([0, 9, 2**63, 2**64 - 1], np.uint64)),
+        ('I8', np.array([-128, -1, 0, 127], np.int8)),
+        ('U32V', np.array([[0, 2**31 + 5], [2**32 - 1, 3],
+                           [1, 2], [4, 5]], np.uint32)),
+    ]
+    fitsio.write(fn, [dict(kind='table', data=cols, name='T')])
+    t = fitsio.read(fn)['T'].data
+    for name, arr in cols:
+        assert t[name].dtype == arr.dtype, name
+        np.testing.assert_array_equal(t[name], arr)
+    # header carries the convention cards (interop with astropy)
+    hdr = fitsio.read(fn)['T'].header
+    ttypes = {str(hdr[f'TTYPE{i}']): i
+              for i in range(1, int(hdr['TFIELDS']) + 1)}
+    assert hdr[f'TZERO{ttypes["U64"]}'] == 2**63
+    assert hdr[f'TFORM{ttypes["U64"]}'] == 'K'
+
+
+def test_unsigned_bzero_image_roundtrip(tmp_path):
+    fn = str(tmp_path / 'uimg.fits')
+    a = np.array([[0, 5], [2**31, 2**32 - 1]], np.uint32)
+    fitsio.write(fn, [dict(kind='image', data=a)])
+    f = fitsio.read(fn)
+    assert f[0].data.dtype == np.uint32
+    np.testing.assert_array_equal(f[0].data, a)
+    assert f[0].header['BZERO'] == 2**31
+
+
+def test_tscal_tzero_general_scaling(tmp_path):
+    """Non-convention TSCAL/TZERO scale to float (FITS standard)."""
+    fn = str(tmp_path / 'scaled.fits')
+    cols = [('RAW', np.array([0, 10, 100], np.int16))]
+    fitsio.write(fn, [dict(kind='table', data=cols, name='T',
+                           header=[('TSCAL1', 0.5, ''),
+                                   ('TZERO1', 100.0, '')])])
+    t = fitsio.read(fn)['T'].data
+    np.testing.assert_allclose(t['RAW'], np.array([100.0, 105.0, 150.0]))
