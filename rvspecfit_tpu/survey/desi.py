@@ -236,45 +236,88 @@ def fiberstatus_select(fibermap):
     return (col & good) == col
 
 
-# Main-survey DESI_TARGET bit names (public DESI data model /
-# desitarget targetmask.yaml).  The reference decodes these through
-# the desitarget package (reference: desi_fit.py:495-522
-# filter_fibermap via DT.main_cmx_or_sv); that package is not a
-# dependency here, so the main-survey table is embedded.  Regex
-# selection (--objtypes 'MWS_.*,STD_.*') matches against these names;
-# --objtype_mask remains the explicit escape hatch for SV/CMX bits.
-DESI_TARGET_BITS = {
-    'LRG': 0, 'ELG': 1, 'QSO': 2, 'LRG_1PASS': 3, 'LRG_2PASS': 4,
-    'ELG_LOP': 5, 'ELG_HIP': 6, 'ELG_VLO': 7,
+# Target bit-name tables (public DESI data model / desitarget
+# targetmask yamls).  The reference decodes these through the
+# desitarget package (reference: desi_fit.py:495-522 filter_fibermap
+# via DT.main_cmx_or_sv); that package is not a dependency here, so
+# the name tables are embedded per survey phase and the selection
+# dispatches on whichever target column the FIBERMAP actually carries
+# (CMX_TARGET / SV{1,2,3}_DESI_TARGET / DESI_TARGET — public EDR
+# coadds are SV, so main-survey-only decoding would select nothing
+# there).  Regex selection (--objtypes 'MWS_.*,STD_.*') matches
+# against the active column's names; --objtype_mask remains the
+# explicit escape hatch for bits absent from the tables.
+
+# bits desitarget pins at fixed positions across ALL survey phases
+_COMMON_TARGET_BITS = {
     'SKY': 32, 'STD_FAINT': 33, 'STD_WD': 34, 'STD_BRIGHT': 35,
     'BAD_SKY': 36, 'SUPP_SKY': 37,
     'NO_TARGET': 57, 'BRIGHT_OBJECT': 58, 'IN_BRIGHT_OBJECT': 59,
     'BGS_ANY': 60, 'MWS_ANY': 61, 'SCND_ANY': 62,
 }
 
+DESI_TARGET_BITS = dict(
+    LRG=0, ELG=1, QSO=2, LRG_1PASS=3, LRG_2PASS=4,
+    ELG_LOP=5, ELG_HIP=6, ELG_VLO=7, **_COMMON_TARGET_BITS)
 
-def objtypes_to_mask(objtypes):
-    """Translate object-type regexes into a DESI_TARGET bitmask.
+# SV2/SV3 desi_mask science sub-bits (sv2/sv3_targetmask.yaml)
+_SV23_BITS = dict(
+    LRG=0, ELG=1, QSO=2, LRG_LOWDENS=3,
+    ELG_LOP=5, ELG_HIP=6, ELG_VLO=7, **_COMMON_TARGET_BITS)
+# SV1 shares the headline science bits; its experimental sub-bits
+# (per-selection LRG/ELG variants) are not embedded — use
+# --objtype_mask for those
+_SV1_BITS = dict(LRG=0, ELG=1, QSO=2, **_COMMON_TARGET_BITS)
+# commissioning: only the pinned convention bits are embedded (the
+# CMX-specific SV0_*/MINI_SV_* layout is not stable); anything else
+# needs --objtype_mask
+_CMX_BITS = dict(_COMMON_TARGET_BITS)
+
+# dispatch priority mirrors desitarget.targets.main_cmx_or_sv:
+# commissioning first, then SV, then the main survey
+TARGET_COLUMN_TABLES = (
+    ('CMX_TARGET', _CMX_BITS),
+    ('SV1_DESI_TARGET', _SV1_BITS),
+    ('SV2_DESI_TARGET', _SV23_BITS),
+    ('SV3_DESI_TARGET', _SV23_BITS),
+    ('DESI_TARGET', DESI_TARGET_BITS),
+)
+
+
+def target_column(fibermap):
+    """(column_name, bit_table) for the target column this FIBERMAP
+    carries, or (None, None) when it has none (reference equivalent:
+    desitarget.targets.main_cmx_or_sv column resolution)."""
+    for col, table in TARGET_COLUMN_TABLES:
+        if col in fibermap:
+            return col, table
+    return None, None
+
+
+def objtypes_to_mask(objtypes, bit_table=None, column='DESI_TARGET'):
+    """Translate object-type regexes into a target-column bitmask.
 
     Equivalent of the reference's filter_fibermap name matching
-    (reference: desi_fit.py:495-522) against the embedded main-survey
-    name table.  Raises if no name matches (a typo would otherwise
-    silently select nothing).
+    (reference: desi_fit.py:495-522) against the embedded name table
+    of the active target column.  Raises if no name matches (a typo
+    would otherwise silently select nothing).
     """
     import re
+    if bit_table is None:
+        bit_table = DESI_TARGET_BITS
     res = [re.compile(o) for o in objtypes]
     mask = 0
     matched = []
-    for name, bit in DESI_TARGET_BITS.items():
+    for name, bit in bit_table.items():
         if any(r.match(name) for r in res):
             mask |= (1 << bit)
             matched.append(name)
     if not mask:
         raise ValueError(
-            f'no DESI_TARGET names match objtypes {objtypes}; '
-            f'known names: {sorted(DESI_TARGET_BITS)}')
-    logging.info('objtypes %s -> DESI_TARGET names %s (mask 0x%x)',
-                 objtypes, matched, mask)
+            f'no {column} names match objtypes {objtypes}; '
+            f'known names: {sorted(bit_table)}')
+    logging.info('objtypes %s -> %s names %s (mask 0x%x)',
+                 objtypes, column, matched, mask)
     return mask
 
 
@@ -290,10 +333,17 @@ def select_fibers_to_fit(fibermap, sns, minsn=None, fit_targetid=None,
     sel &= fiberstatus_select(fibermap)
     if 'OBJTYPE' in fibermap:
         sel &= np.char.strip(fibermap['OBJTYPE'].astype(str)) == 'TGT'
+    tcol, ttable = target_column(fibermap)
     if objtypes is not None:
-        objtype_mask = (objtype_mask or 0) | objtypes_to_mask(objtypes)
-    if objtype_mask is not None and 'DESI_TARGET' in fibermap:
-        sel &= (fibermap['DESI_TARGET'] & objtype_mask) > 0
+        if tcol is None:
+            raise RuntimeError(
+                'objtypes selection requested but the FIBERMAP carries '
+                'no target column (DESI_TARGET / SV*_DESI_TARGET / '
+                'CMX_TARGET)')
+        objtype_mask = (objtype_mask or 0) | objtypes_to_mask(
+            objtypes, ttable, tcol)
+    if objtype_mask is not None and tcol is not None:
+        sel &= (fibermap[tcol] & objtype_mask) > 0
     if minsn is not None:
         sel &= sns > minsn
     if fit_targetid is not None:
@@ -545,6 +595,16 @@ def _get_fitter(arms, templates, config, options, fit_vsini):
             logging.info('fitter cache invalidated: %s', exc)
     bf = BatchedFitter(arms, templates, config, options=options,
                        use_vsini=fit_vsini, microbatch=mb)
+    # multi-chip hosts: lay the fiber axis over all local devices
+    # (the reference's per-node worker pool, desi_fit.py:1471-1481;
+    # update_arms keeps the layout across files).  RVST_NO_MESH=1
+    # opts out (e.g. to pin other chips to other ranks).
+    if os.environ.get('RVST_NO_MESH') != '1':
+        from rvspecfit_tpu.parallel import mesh as pmesh
+        mesh = pmesh.auto_shard(bf)
+        if mesh is not None:
+            logging.info('fitter sharded over %d local devices',
+                         mesh.devices.size)
     _BF_CACHE[key] = bf
     return bf
 
