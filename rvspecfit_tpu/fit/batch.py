@@ -360,7 +360,24 @@ class BatchedFitter:
                 log_espec_sum=cast(np.log(esp).sum(axis=1)),
                 band=None if a.resolution is None else
                 cast(np.asarray(a.resolution))))
-        dev = jax.device_put(host)
+        # a mesh-sharded fitter keeps its new exposure sharded the same
+        # way (padded to the device multiple, fiber rows on the mesh)
+        sh = getattr(self, '_fiber_sharding', None)
+        if sh is not None:
+            nm = self._mesh_size
+
+            def pad(x):
+                p = (-x.shape[0]) % nm
+                if p:
+                    x = np.concatenate(
+                        [x, np.repeat(x[-1:], p, axis=0)], axis=0)
+                return x
+
+            host = [{k: (None if v is None else pad(v))
+                     for k, v in h.items()} for h in host]
+            dev = jax.device_put(host, sh)
+        else:
+            dev = jax.device_put(host)
         new_states = []
         for d, cur in zip(dev, self.arms):
             band = cur.band
@@ -421,7 +438,11 @@ class BatchedFitter:
         """
         base = self.arms if arms is None else arms
         ranges, mb = self._mb_ranges()
-        if len(ranges) == 1 and ranges[0][1] - ranges[0][0] == mb:
+        # direct call only when the stored arm rows match the tile
+        # width exactly (a mesh-sharded fitter pads its stored rows to
+        # a device multiple, see parallel/mesh.shard_fitter)
+        if len(ranges) == 1 and ranges[0][1] - ranges[0][0] == mb \
+                and base[0].dvec.shape[0] == mb:
             return fn(base, self.templates, *per_fiber_args)
         parts = []
         for lo, hi in ranges:
@@ -572,7 +593,7 @@ class BatchedFitter:
         pkey = ('nm_packed', mapper.cache_key(),
                 self._priors_key(priors),
                 fatol, xatol_key, chunk,
-                os.environ.get('RVST_NM_SCHEME', 'cand4'))
+                nm.nm_scheme())
         fns = self._objective_cache.get(pkey)
         if fns is None:
             objective = self._nm_objective(mapper, priors)
@@ -805,7 +826,7 @@ class BatchedFitter:
         # and report the iteration count) — lets callers convert
         # flops/trial into an achieved-FLOP/s / MFU figure for the NM
         # phase (bench RVST_MFU)
-        ncand = 2 if os.environ.get('RVST_NM_SCHEME') == 'scan2' else 4
+        ncand = nm.nm_ncand()
         evals = [0]
 
         def eval_init(idx):

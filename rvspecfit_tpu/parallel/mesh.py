@@ -13,9 +13,9 @@ desi_fit.py:1471-1481).  The TPU-native equivalent has three levels:
 3. across hosts: static file sharding (utils.ShardedFileQueue) over a
    jax.distributed world — replacing MPIFileQueue's dynamic farm.
 
-Also provides the template-parallel layout for the CCF template bank
-(templates sharded over chips, per-chip argmin + global argmin via
-one tiny collective) used by fit/ccf.py.
+``auto_shard`` is the driver entry point: a no-op on single-device
+hosts, a fiber-axis mesh layout (with transparent padding to a mesh
+multiple) when the host has several chips.
 """
 from __future__ import annotations
 
@@ -41,40 +41,81 @@ def pad_to_multiple(n, m):
     return ((n + m - 1) // m) * m
 
 
-def shard_fitter(bf, mesh, axis='data'):
-    """Lay the fiber axis of a BatchedFitter over the mesh data axis.
+def _pad_rows(x, mult):
+    """Pad the leading (fiber) axis to a multiple of ``mult`` by
+    repeating the last row (NamedSharding requires even divisibility;
+    padded rows are never gathered — tile index vectors only address
+    real fibers)."""
+    x = jnp.asarray(x)
+    pad = (-x.shape[0]) % mult
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
 
-    Per-fiber leaves (dvec, espec_inv, log_espec_sum, band data) are
-    sharded along ``axis``; shared leaves (lam, polys, template state)
-    are replicated.  The fiber count must divide evenly over the mesh
-    (pad the batch first with pad_to_multiple).
-    """
-    repl = NamedSharding(mesh, P())
-    row = NamedSharding(mesh, P(axis))
 
-    def place(arm: ArmState):
+def place_arm_states(arms, row, repl, nmesh):
+    """ArmState list with per-fiber leaves padded to the mesh multiple
+    and sharded on ``row``; shared leaves replicated."""
+    out = []
+    for arm in arms:
         band = arm.band
         if band is not None:
-            band = BandedMatrix(band.offsets,
-                                jax.device_put(band.bands, row))
-        return ArmState(
+            band = BandedMatrix(band.offsets, jax.device_put(
+                _pad_rows(band.bands, nmesh), row))
+        out.append(ArmState(
             lam=jax.device_put(arm.lam, repl),
-            dvec=jax.device_put(arm.dvec, row),
-            espec_inv=jax.device_put(arm.espec_inv, row),
+            dvec=jax.device_put(_pad_rows(arm.dvec, nmesh), row),
+            espec_inv=jax.device_put(_pad_rows(arm.espec_inv, nmesh),
+                                     row),
             polys=jax.device_put(arm.polys, repl),
-            log_espec_sum=jax.device_put(arm.log_espec_sum, row),
+            log_espec_sum=jax.device_put(
+                _pad_rows(arm.log_espec_sum, nmesh), row),
             band=band, name=arm.name, setup=arm.setup,
             idx0=None if arm.idx0 is None else
             jax.device_put(arm.idx0, repl),
             lam_over_step=None if arm.lam_over_step is None else
             jax.device_put(arm.lam_over_step, repl),
-            pallas_window=arm.pallas_window)
+            pallas_window=arm.pallas_window))
+    return out
 
-    bf.arms = [place(a) for a in bf.arms]
+
+def shard_fitter(bf, mesh, axis='data'):
+    """Lay the fiber axis of a BatchedFitter over the mesh data axis.
+
+    Per-fiber leaves (dvec, espec_inv, log_espec_sum, band data) are
+    sharded along ``axis``; shared leaves (lam, polys, template state)
+    are replicated.  A fiber count that does not divide the mesh is
+    padded transparently (bf.nfibers is unchanged — the padded rows
+    exist only in the stored device arrays, and every consumer
+    addresses fibers by index < nfibers).
+    """
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(axis))
+    nmesh = mesh.devices.size
+    bf.arms = place_arm_states(bf.arms, row, repl, nmesh)
     bf.templates = {k: jax.device_put(v, repl)
                     for k, v in bf.templates.items()}
     bf._fiber_sharding = row
+    bf._repl_sharding = repl
+    bf._mesh_size = nmesh
+    for attr in ('_arms_ad', '_arm_axes_ad'):
+        if hasattr(bf, attr):
+            delattr(bf, attr)
     return bf
+
+
+def auto_shard(bf, devices=None, min_devices=2):
+    """Driver-level scale-out: shard the fitter over all local devices
+    when the host has more than one (reference equivalent: N worker
+    processes per node, desi_fit.py:1471-1481).  Returns the Mesh, or
+    None on single-device hosts (no-op)."""
+    if devices is None:
+        devices = jax.local_devices()
+    if len(devices) < min_devices:
+        return None
+    mesh = make_mesh(devices=devices)
+    shard_fitter(bf, mesh)
+    return mesh
 
 
 def shard_trials(bf, vels, params, vsinis=None):

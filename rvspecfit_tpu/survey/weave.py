@@ -157,6 +157,14 @@ def proc_weave(fnames, config, threadid=0, nthreads=1,
 
     bf = BatchedFitter(arms, templates, config, options=options,
                        use_vsini=True)
+    # multi-chip hosts: fiber axis over all local devices (no-op on
+    # one chip; RVST_NO_MESH=1 opts out) — same as the DESI driver
+    if os.environ.get('RVST_NO_MESH') != '1':
+        from rvspecfit_tpu.parallel import mesh as pmesh
+        wmesh = pmesh.auto_shard(bf)
+        if wmesh is not None:
+            logging.info('fitter sharded over %d local devices',
+                         wmesh.devices.size)
     paramDict0 = dict(zip(parnames, start_params.mean(axis=0)))
     paramDict0['vsini'] = 0.01
     mapper = vel_fit.ParamMapper(

@@ -81,3 +81,90 @@ def test_sharded_scan_and_refine():
     # scan error of the injected one for most fibers
     ok = np.abs(scan['best_vel'] - truth['vel']) < 50
     assert ok.sum() >= 6
+
+
+def test_sharded_polish_and_hessian_match_unsharded():
+    """Gradient polish (AD Newton) and the AD Hessian errors produce
+    identical results through a mesh-sharded fitter, including an
+    UNEVEN fiber count (10 fibers over 8 devices — shard_fitter pads
+    the stored rows transparently; VERDICT r3 weak #5)."""
+    from rvspecfit_tpu.fit import vel_fit
+
+    tm = simulation.build_template_model(4, 4, 4, 3, npix=1024)
+    nf = 10
+    arms_data, truth = simulation.make_exposure(nf, npix_arm=300,
+                                                snr=100, seed=7)
+    arms = [BatchArm(n, lam, fl, iv)
+            for n, (lam, fl, iv) in arms_data.items()]
+    templates = {n: tm for n in arms_data}
+    mapper = vel_fit.ParamMapper(
+        tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
+        [], None, False)
+    x0 = np.concatenate(
+        [truth['vel'][:, None] + 5.0,
+         np.tile([5900.0, 3.1, -0.9, 0.45], (nf, 1))], axis=1)
+
+    bf = BatchedFitter(arms, templates, CONFIG, options={'npoly': 6})
+    pol_ref = bf.run_polish(mapper, x0, steps=2)
+    vel_r, par_r, _ = mapper.unpack_host(pol_ref['x'])
+    err_ref, cov_ref, bad_ref = bf.hessian_errors(
+        vel_r, par_r, parnames=list(tm.parnames))
+    ref_refine = bf.refine_velocities(vel_r, par_r)
+
+    bf2 = BatchedFitter(arms, templates, CONFIG, options={'npoly': 6})
+    mesh = pmesh.shard_fitter(bf2, pmesh.make_mesh())
+    assert bf2.arms[0].dvec.shape[0] == 16      # padded 10 -> 16
+    assert bf2.nfibers == nf
+    pol = bf2.run_polish(mapper, x0, steps=2)
+    np.testing.assert_allclose(pol['x'], pol_ref['x'], rtol=1e-8)
+    np.testing.assert_allclose(pol['fun'], pol_ref['fun'], rtol=1e-8)
+    vel_s, par_s, _ = mapper.unpack_host(pol['x'])
+    errs, covs, bad = bf2.hessian_errors(vel_s, par_s,
+                                         parnames=list(tm.parnames))
+    np.testing.assert_allclose(errs, err_ref, rtol=1e-7)
+    np.testing.assert_array_equal(bad, bad_ref)
+    got_refine = bf2.refine_velocities(vel_s, par_s)
+    np.testing.assert_allclose(got_refine['best_vel'],
+                               ref_refine['best_vel'], rtol=1e-8)
+
+
+def test_sharded_update_arms_keeps_sharding():
+    """update_arms on a sharded fitter re-places the new exposure on
+    the mesh (padded), so multi-file runs stay sharded."""
+    tm = simulation.build_template_model(4, 4, 4, 3, npix=1024)
+    arms_data, _ = simulation.make_exposure(16, npix_arm=300, seed=2)
+    arms = [BatchArm(n, lam, fl, iv)
+            for n, (lam, fl, iv) in arms_data.items()]
+    templates = {n: tm for n in arms_data}
+    bf = BatchedFitter(arms, templates, CONFIG, options={'npoly': 6})
+    pmesh.shard_fitter(bf, pmesh.make_mesh())
+
+    arms_data2, _ = simulation.make_exposure(10, npix_arm=300, seed=9)
+    arms2 = [BatchArm(n, lam, fl, iv)
+             for n, (lam, fl, iv) in arms_data2.items()]
+    bf.update_arms(arms2)
+    assert bf.nfibers == 10
+    assert bf.arms[0].dvec.shape[0] == 16
+    assert bf.arms[0].dvec.sharding == bf._fiber_sharding
+
+    # unsharded reference on the new exposure
+    bf_ref = BatchedFitter(arms2, templates, CONFIG,
+                           options={'npoly': 6})
+    par = np.tile([6000.0, 3.0, -1.0, 0.5], (10, 2, 1))
+    vels = np.tile(np.linspace(-100, 100, 2), (10, 1))
+    import jax.numpy as jnp
+    ref = np.asarray(bf_ref.chisq(jnp.asarray(vels), jnp.asarray(par)))
+    got = np.asarray(bf.chisq(jnp.asarray(vels), jnp.asarray(par)))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_auto_shard():
+    tm = simulation.build_template_model(4, 4, 4, 3, npix=1024)
+    arms_data, _ = simulation.make_exposure(8, npix_arm=300, seed=4)
+    arms = [BatchArm(n, lam, fl, iv)
+            for n, (lam, fl, iv) in arms_data.items()]
+    bf = BatchedFitter(arms, {n: tm for n in arms_data}, CONFIG,
+                       options={'npoly': 6})
+    mesh = pmesh.auto_shard(bf)
+    assert mesh is not None and mesh.devices.size == 8
+    assert bf._fiber_sharding is not None
