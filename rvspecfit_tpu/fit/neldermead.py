@@ -8,11 +8,12 @@ problem.  This module implements the standard simplex algorithm
 (alpha=1, gamma=2, rho=0.5, sigma=0.5, scipy-compatible fatol/xatol
 convergence) natively over a batch axis:
 
-* per iteration ALL FOUR candidate points (reflection, expansion,
-  both contractions) are evaluated in ONE batched call — at
-  production shapes the objective is overhead-bound, so a (B, 4)
-  call costs barely more than (B, 1) and the decisions reduce
-  exactly to scipy's (every value scipy could consult is computed);
+* candidate evaluation follows scipy's literal flow by default
+  (``scan2``: reflection, then the one derived second candidate, as a
+  2-step lax.scan whose body holds the objective once) or evaluates
+  ALL FOUR candidates in one (B, 4) call (``cand4``); both reduce
+  exactly to scipy's decisions, and the default was fixed by on-chip
+  A/B (see nm_scheme);
 * the rare shrink step evaluates the shrunk simplex under a
   ``lax.cond`` so its cost is paid only on iterations where some
   unconverged instance actually shrinks;
@@ -34,6 +35,24 @@ import jax.numpy as jnp
 
 
 _JIT_CACHE = {}
+
+
+def nm_scheme():
+    """Candidate-evaluation scheme (RVST_NM_SCHEME override).
+
+    Production default is ``scan2`` — fixed by on-chip A/B
+    (tools/ab_nm_scheme.py, TPU v5e, 500-fiber bench exposure):
+    3.38 s vs cand4's 5.63 s NM wall with statistically identical
+    optima (median dchi2 0.0; >1-dchi2 winners 8 vs 4, tie-breaking
+    noise).  The objective is compute-bound at production widths, so
+    halving the trial FLOPs beats halving the sequential depth.
+    """
+    return os.environ.get('RVST_NM_SCHEME', 'scan2')
+
+
+def nm_ncand():
+    """Objective trials dispatched per NM iteration per instance."""
+    return 2 if nm_scheme() == 'scan2' else 4
 
 
 def _sorted_simplex(simplex, fvals):
@@ -98,7 +117,7 @@ def minimize_batch(fun, initial_simplex, fatol=1e-3, xatol=1e-2,
         return dict(x=simplex[:, 0, :], fun=fvals[:, 0], converged=done,
                     nit=nit, final_simplex=simplex)
 
-    scheme = os.environ.get('RVST_NM_SCHEME', 'cand4')
+    scheme = nm_scheme()
     if jit:
         key = (fun, fatol, xatol, maxiter, scheme)
         core = _JIT_CACHE.get(key)
@@ -129,7 +148,7 @@ def make_stepper(fun, fatol=1e-3, xatol=1e-2, chunk=64):
     """
     if isinstance(xatol, (tuple, list)) or hasattr(xatol, 'shape'):
         xatol = tuple(float(x) for x in np.asarray(xatol).ravel())
-    scheme = os.environ.get('RVST_NM_SCHEME', 'cand4')
+    scheme = nm_scheme()
     key = ('stepper', fun, fatol, xatol, chunk, scheme)
     fns = _JIT_CACHE.get(key)
     if fns is None:
@@ -198,8 +217,8 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol,
     Mathematically identical to scipy's implementation up to
     tie-breaking (verified against scipy in tests/test_neldermead.py).
 
-    Two candidate-evaluation schemes (``RVST_NM_SCHEME`` env, default
-    ``cand4``):
+    Two candidate-evaluation schemes (``RVST_NM_SCHEME`` env; the
+    default is ``scan2``, fixed by on-chip A/B — see nm_scheme):
 
     * ``scan2`` — scipy's literal flow: evaluate the reflection,
       derive ONE second candidate per instance (expansion or a
@@ -215,7 +234,7 @@ def _nm_body(fun, fun_args, simplex, fvals, done, fatol, xatol,
     """
     alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
     if scheme is None:
-        scheme = os.environ.get('RVST_NM_SCHEME', 'cand4')
+        scheme = nm_scheme()
     n = simplex.shape[2]
     ohw, ohb, f_worst, f_second, f_best = _nm_stats(simplex, fvals)
     worst = _pick_row(ohw, simplex)

@@ -27,6 +27,7 @@ import logging
 import math
 
 import numpy as np
+import scipy.linalg
 import scipy.optimize
 import jax
 import jax.numpy as jnp

@@ -11,73 +11,27 @@ measures, from one shared NM result:
   every step) vs the default re-evaluated Hessian,
 
 against wall time, the post-refine chi-square, and RV recovery.
-Quality gate: median/95p delta-chi-square vs the best configuration
-and the fraction of fibers worse by >1.
+Quality gate: per-config delta-chi-square vs the elementwise-minimum
+chi-square across all configs, and the fraction of fibers worse by >1.
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-
-NFIBERS = 500
-MICROBATCH = 500
+from _sweep_common import build_setup
 
 
 def main():
-    import jax
-    cache_dir = os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), '.jax_cache')
-    jax.config.update('jax_compilation_cache_dir', cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    s = build_setup(skip=('models', 'hessian'))
+    bf, mapper, truth = s['bf'], s['mapper'], s['truth']
 
-    from rvspecfit_tpu import simulation
-    from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
-    from rvspecfit_tpu.fit import ccf as ccf_mod
-    from rvspecfit_tpu.fit import vel_fit
-    from rvspecfit_tpu.utils import freeze
-
-    config = freeze(dict(min_vel=-1000, max_vel=1000, vel_step0=5,
-                         max_vsini=500, min_vsini=1e-2, min_vel_step=0.2,
-                         second_minimizer=True, template_lib=''))
-    tm = simulation.build_template_model(6, 6, 6, 4, npix=4096,
-                                         lam0=4550.0, lam1=5450.0)
-    arms_data, truth = simulation.make_exposure(NFIBERS, npix_arm=1024,
-                                                snr=50.0, seed=7)
-    arms = [BatchArm(n, lam, fl, iv)
-            for n, (lam, fl, iv) in arms_data.items()]
-    templates = {n: tm for n in arms_data}
-    bank_cache = os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))),
-        '.bench_ccf_bank.npy')
-    bank = simulation.build_ccf_bank_cached(
-        bank_cache, nt=6, nl=6, nf=6, na=4, npix=4096,
-        lam0=4550.0, lam1=5450.0, every=8)
-    banks = {n: bank for n in arms_data}
-    mapper = vel_fit.ParamMapper(
-        tm.parnames, dict(teff=6000.0, logg=3.0, feh=-1.0, alpha=0.5),
-        [], None, False)
-
-    bf = BatchedFitter(arms, templates, config, options={'npoly': 10},
-                       microbatch=MICROBATCH)
-    t0 = time.time()
-    bf.warm(mapper, skip=('models',))
-    print(f'threaded warm-up: {time.time() - t0:.1f} s', flush=True)
-
-    with np.errstate(divide='ignore'):
-        cres = ccf_mod.fit_batch(
-            [(a.name, a.lam, a.flux,
-              1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), None)
-             for a in arms], config, banks=banks, microbatch=125)
+    cres = s['run_ccf'](ccf_microbatch=125)
     x0 = np.concatenate([cres['best_vel'][:, None],
                          cres['best_params']], axis=1)
     nmres = bf.run_neldermead(mapper, cres['best_vel'], x0=x0)
-    print(f'shared NM done: {int(nmres["converged"].sum())}/{NFIBERS} '
+    print(f'shared NM done: {int(nmres["converged"].sum())}/{s["nfibers"]} '
           'converged', flush=True)
 
     def run(steps, freeze_h):
@@ -106,10 +60,15 @@ def main():
 
     configs = [(3, False), (3, True), (2, False), (2, True)]
     results = []
-    for steps, fh in configs:
-        r = run(steps, fh)
-        results.append((steps, fh, r))
-    base_fun = results[0][2]['fun']
+    try:
+        for steps, fh in configs:
+            r = run(steps, fh)
+            results.append((steps, fh, r))
+    finally:
+        os.environ.pop('RVST_POLISH_FREEZE_H', None)
+    # baseline = per-fiber elementwise best chi-square across configs
+    base_fun = np.min(np.stack([r['fun'] for _, _, r in results]),
+                      axis=0)
     for steps, fh, r in results:
         dchi = r['fun'] - base_fun
         out = dict(steps=steps, freeze_h=fh, t_pol=r['t_pol'],
