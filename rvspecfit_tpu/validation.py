@@ -97,7 +97,14 @@ def run_accuracy(ntrials=1000, snr=300.0, npix=400, resol=1000.0,
         median_bias=float(np.median(dv)),
         median_err=float(np.median(sig)),
         scatter=float(0.5 * np.subtract(*np.percentile(dv, [84, 16]))),
-        pull_std=float(0.5 * np.subtract(*np.percentile(pull, [84, 16]))),
+        # pull_std is the reference's metric — a plain np.std of the
+        # pulls (reference: tests/runall_accuracy.py:30-39), which IS
+        # sensitive to the tails the pull test exists to catch;
+        # pull_std_robust (percentile-based) is reported alongside to
+        # separate core calibration from outlier fibers
+        pull_std=float(np.std(pull)),
+        pull_std_robust=float(
+            0.5 * np.subtract(*np.percentile(pull, [84, 16]))),
         frac_within_3sig=float(np.mean(np.abs(pull) < 3)),
     )
     return stats, dict(v0=v0, vfit=ref['best_vel'], verr=sig,
