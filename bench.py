@@ -43,6 +43,191 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------
+# driver end-to-end: the full rvst_desi_fit path (FITS read, fiber
+# selection, CCF, NM, polish, refine, Hessian, best-fit MODELS, and
+# the RVTAB/RVMOD FITS writes) on synthetic 500-fiber coadds.  The
+# fit-only figure above excludes the models stage and output I/O;
+# this one is the honest per-file number a survey run sees once warm
+# (file 1 pays the program warm-up, file 2 is the steady state —
+# update_arms keeps every compiled program across files).
+
+E2E_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        '.bench_desi')
+E2E_NFILES = 2
+
+
+def _build_e2e_library(root):
+    """Offline template library (read_grid -> make_interpol ->
+    make_nd --regulargrid -> make_ccf) for the bench arms; disk-cached.
+    Runs in a CPU subprocess: the prep pipeline is offline CPU work,
+    and running its many small programs on a remote-compile TPU
+    backend pays minutes of compile/ingest for nothing."""
+    lib = _os.path.join(root, 'templ_data')
+    marker = _os.path.join(lib, '.complete')
+    if _os.path.exists(marker):
+        return lib
+    import subprocess
+    t0 = time.time()
+    env = dict(_os.environ, JAX_PLATFORMS='cpu')
+    subprocess.run(
+        [sys.executable, '-c',
+         'import bench; bench._build_e2e_library_impl('
+         f'{root!r}, {NPIX_ARM!r})'],
+        check=True, env=env,
+        cwd=_os.path.dirname(_os.path.abspath(__file__)))
+    log(f'e2e: library built in {time.time() - t0:.1f} s (cached)')
+    return lib
+
+
+def _build_e2e_library_impl(root, npix_arm):
+    from rvspecfit_tpu import simulation
+    from rvspecfit_tpu.io import fitsio
+    from rvspecfit_tpu.pipeline import (read_grid, make_interpol,
+                                        make_nd, make_ccf)
+
+    lib = _os.path.join(root, 'templ_data')
+    marker = _os.path.join(lib, '.complete')
+    if _os.path.exists(marker):
+        return lib
+    griddir = _os.path.join(root, 'grid')
+    specdir = _os.path.join(griddir, 'specs')
+    _os.makedirs(specdir, exist_ok=True)
+    lam = np.linspace(4500, 5500, 3000)
+    i = 0
+    for t in np.linspace(4200, 9800, 6):
+        for g in np.linspace(0.5, 5.0, 6):
+            for f in np.linspace(-2.0, 0.0, 6):
+                for a in np.linspace(0.0, 1.0, 4):
+                    sp = simulation.fake_spectrum(lam, t, g, f, a)
+                    fn = _os.path.join(specdir, f'xx_{i:05d}.fits')
+                    if not _os.path.exists(fn):
+                        fitsio.write(fn, [dict(
+                            kind='image', data=sp,
+                            header=[('PHXTEFF', t, ''),
+                                    ('PHXLOGG', g, ''),
+                                    ('PHXM_H', f, ''),
+                                    ('PHXALPHA', a, '')])])
+                    i += 1
+    wavefile = _os.path.join(griddir, 'wave.fits')
+    if not _os.path.exists(wavefile):
+        fitsio.write(wavefile, [dict(kind='image', data=lam)])
+    db = _os.path.join(root, 'files.db')
+    read_grid.main(['--prefix', griddir, '--templdb', db,
+                    '--glob_mask', 'specs/*fits'])
+    from rvspecfit_tpu.simulation import THREE_ARM_LAYOUT
+    for s, (l0, l1) in THREE_ARM_LAYOUT.items():
+        setup = f'desi_{s.lower()}'
+        step = (l1 - l0 + 20) / npix_arm
+        # R chosen so the LSF sigma (~lam/R/2.355) matches the 2.0 A
+        # Gaussian width make_exposure injects into the observed data
+        make_interpol.main([
+            '--setup', setup, '--lambda0', str(l0 - 10),
+            '--lambda1', str(l1 + 10), '--resol', '1062',
+            '--step', f'{step:.4f}', '--templdb', db,
+            '--templprefix', griddir, '--wavefile', wavefile,
+            '--oprefix', lib, '--float_bits', '32'])
+        make_nd.main(['--prefix', lib, '--setup', setup,
+                      '--regulargrid'])
+        make_ccf.main(['--prefix', lib, '--oprefix', lib,
+                       '--setup', setup, '--lambda0', str(l0 - 5),
+                       '--lambda1', str(l1 + 5),
+                       '--step', f'{step:.4f}', '--every', '8'])
+    with open(marker, 'w') as fp:
+        fp.write('ok\n')
+    return lib
+
+
+def _build_e2e_coadd(root, idx):
+    """DESI-format synthetic coadd (B/R/Z arms, NFIBERS fibers) +
+    truth sidecar; disk-cached."""
+    from rvspecfit_tpu import simulation
+    from rvspecfit_tpu.io import fitsio
+
+    fname = _os.path.join(root, f'coadd-bench{idx}.fits')
+    tname = _os.path.join(root, f'truth-bench{idx}.npz')
+    if _os.path.exists(fname) and _os.path.exists(tname):
+        return fname, dict(np.load(tname))
+    arms_data, truth = simulation.make_exposure(
+        NFIBERS, npix_arm=NPIX_ARM, snr=50.0, seed=100 + idx)
+    hdus = [dict(kind='image', data=None)]
+    for s, (lam, flux, ivar) in arms_data.items():
+        su = s.upper()
+        hdus += [
+            dict(kind='image', data=lam, name=f'{su}_WAVELENGTH'),
+            dict(kind='image', data=flux.astype(np.float32),
+                 name=f'{su}_FLUX'),
+            dict(kind='image', data=ivar.astype(np.float32),
+                 name=f'{su}_IVAR'),
+            dict(kind='image', data=np.zeros(flux.shape, np.int32),
+                 name=f'{su}_MASK')]
+    tids = np.arange(NFIBERS, dtype=np.int64) + 39620000000
+    hdus.append(dict(kind='table', name='FIBERMAP', data=[
+        ('TARGETID', tids),
+        ('TARGET_RA', np.linspace(0, 359, NFIBERS)),
+        ('TARGET_DEC', np.zeros(NFIBERS)),
+        ('FIBER', np.arange(NFIBERS, dtype=np.int32)),
+        ('OBJTYPE', np.array(['TGT'] * NFIBERS)),
+        ('FIBERSTATUS', np.zeros(NFIBERS, np.int32)),
+        ('DESI_TARGET', np.full(NFIBERS, 1 << 61, np.int64)),
+    ]))
+    hdus.append(dict(kind='table', name='SCORES', data=[
+        ('MEDIAN_CALIB_SNR_' + s.upper(), np.full(NFIBERS, 50.0))
+        for s in arms_data]))
+    fitsio.write(fname, hdus, overwrite=True)
+    np.savez(tname, **truth)
+    return fname, truth
+
+
+def driver_e2e():
+    """Returns dict with cold/steady per-file driver times (s) and the
+    steady-state end-to-end throughput (fibers/s) including models +
+    output FITS writes."""
+    from rvspecfit_tpu.survey import desi
+    from rvspecfit_tpu.io import fitsio
+
+    _os.makedirs(E2E_DIR, exist_ok=True)
+    lib = _build_e2e_library(E2E_DIR)
+    files, truths = [], []
+    for i in range(E2E_NFILES):
+        f, t = _build_e2e_coadd(E2E_DIR, i)
+        files.append(f)
+        truths.append(t)
+    outdir = _os.path.join(E2E_DIR, 'out')
+    status = _os.path.join(E2E_DIR, 'status.txt')
+    t0 = time.time()
+    desi.main(files + ['--output_dir', outdir, '--templ_lib', lib,
+                       '--process_status_file', status,
+                       '--throw_exceptions'])
+    wall = time.time() - t0
+    times = {}
+    with open(status) as fp:
+        for line in fp.read().strip().splitlines():
+            parts = line.split()
+            times[_os.path.basename(parts[0])] = float(parts[3])
+    t_cold = times[_os.path.basename(files[0])]
+    t_steady = times[_os.path.basename(files[-1])]
+
+    # recovery gate on the steady file
+    tab = fitsio.read(_os.path.join(
+        outdir, f'rvtab-bench{E2E_NFILES - 1}.fits'))
+    rv = tab['RVTAB'].data
+    truth = truths[-1]
+    dv = rv['VRAD'] - truth['vel'][:len(rv['VRAD'])]
+    ok = np.abs(dv) < np.maximum(10.0, 5 * rv['VRAD_ERR'])
+    log(f'e2e driver: file1 (cold incl. warm-up) {t_cold:.1f} s, '
+        f'file2 (steady) {t_steady:.2f} s '
+        f'({NFIBERS / t_steady:.1f} fibers/s incl. models + I/O); '
+        f'total {wall:.1f} s')
+    log(f'e2e RV recovery: {int(ok.sum())}/{len(ok)} within '
+        f'max(10, 5 sigma); median |dv| = '
+        f'{np.median(np.abs(dv)):.3f} km/s')
+    return dict(driver_e2e_fps=round(NFIBERS / t_steady, 3),
+                driver_e2e_steady_s=round(t_steady, 2),
+                driver_e2e_cold_s=round(t_cold, 1),
+                driver_e2e_ok=int(ok.sum()))
+
+
 def main():
     t_start = time.time()
     import logging
@@ -58,7 +243,8 @@ def main():
     import jax.numpy as jnp
     log(f'backend: {jax.default_backend()} devices: {jax.devices()}')
     from rvspecfit_tpu.ops import pallas_ccf
-    log(f"config: nm_scheme={_os.environ.get('RVST_NM_SCHEME', 'cand4')}"
+    from rvspecfit_tpu.fit.neldermead import nm_scheme, nm_ncand
+    log(f"config: nm_scheme={nm_scheme()}"
         f" pallas_ccf={pallas_ccf.use_pallas_ccf()}"
         f" pallas_spline={_os.environ.get('RVST_PALLAS_SPLINE', 'auto')}"
         f" microbatch={MICROBATCH}")
@@ -185,7 +371,7 @@ def main():
         # the caveats — Pallas ops are invisible to the count, so this
         # is a lower bound)
         from rvspecfit_tpu import perf
-        ncand = 2 if os.environ.get('RVST_NM_SCHEME') == 'scan2' else 4
+        ncand = nm_ncand()
         fpt = perf.objective_flops_per_trial(bf, mapper, ncand=ncand)
         if fpt:
             log(f'MFU: {fpt / 1e6:.2f} MFLOP/fiber-trial x '
@@ -200,13 +386,24 @@ def main():
     log(f'RV recovery: {ok.sum()}/{NFIBERS} within max(10, 5 sigma); '
         f'median |dv| = {np.median(np.abs(dv)):.3f} km/s; '
         f'median sigma_v = {np.median(ref["vel_err"]):.3f} km/s')
+    extra = {}
+    if os.environ.get('RVST_BENCH_E2E', '1') != '0':
+        # the honest headline: the full driver path (FITS in, models,
+        # FITS out) on two synthetic coadd files; steady state = file 2
+        try:
+            extra = driver_e2e()
+        except Exception as exc:       # never lose the primary metric
+            log(f'e2e driver bench failed: {exc!r}')
+            import traceback
+            traceback.print_exc(file=sys.stderr)
     log(f'total bench time: {time.time() - t_start:.1f} s')
 
     print(json.dumps(dict(
         metric='desi_like_3arm_fit_throughput',
         value=round(fps, 3),
         unit='fibers/sec/chip',
-        vs_baseline=round(fps / BASELINE_FIBERS_PER_SEC, 2))))
+        vs_baseline=round(fps / BASELINE_FIBERS_PER_SEC, 2),
+        **extra)))
 
 
 if __name__ == '__main__':
