@@ -40,6 +40,33 @@ def honor_jax_platforms_env():
         logging.warning('could not set jax platform %r: %s', plat, exc)
 
 
+def _host_cpu_fingerprint():
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA:CPU executables are feature-specific, but JAX's persistent
+    cache key does not fully capture the host CPU: on VMs that migrate
+    between physical hosts, entries compiled elsewhere load with
+    "fewer features than detected" SIGILL warnings, and fresh
+    ``executable.serialize()`` calls were observed to SIGABRT after
+    enough foreign entries had been deserialized.  Scoping the cache
+    directory by CPU fingerprint keeps each host family's executables
+    separate (stale families are simply orphaned).
+    """
+    try:
+        import hashlib
+        with open('/proc/cpuinfo') as fp:
+            for line in fp:
+                if line.startswith('flags'):
+                    flags = ' '.join(sorted(line.split(':', 1)[1]
+                                            .split()))
+                    return hashlib.md5(
+                        flags.encode()).hexdigest()[:10]
+    except Exception:
+        pass
+    import platform
+    return platform.machine() or 'unknown'
+
+
 def enable_compilation_cache(cache_dir=None):
     """Point JAX at a persistent compilation cache (idempotent).
 
@@ -47,9 +74,10 @@ def enable_compilation_cache(cache_dir=None):
     (lock-queue consumers, per-rank shards) relaunch the same programs
     constantly, and on remote-compile TPU backends each program pays
     tens of seconds — with the cache, only the first process ever
-    compiles.  Default location is ``<repo>/.jax_cache`` (shared with
-    bench.py); override with ``RVST_COMPILE_CACHE`` (``=0`` or
-    ``=off`` disables).
+    compiles.  Default location is ``<repo>/.jax_cache/<cpu-fp>``
+    (shared with bench.py; see _host_cpu_fingerprint for why the CPU
+    fingerprint subdirectory exists); override with
+    ``RVST_COMPILE_CACHE`` (``=0`` or ``=off`` disables).
     """
     env = os.environ.get('RVST_COMPILE_CACHE')
     if env in ('0', 'off'):
@@ -57,6 +85,7 @@ def enable_compilation_cache(cache_dir=None):
     if cache_dir is None:
         cache_dir = env or os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), '.jax_cache')
+        cache_dir = os.path.join(cache_dir, _host_cpu_fingerprint())
     try:
         import jax
         jax.config.update('jax_compilation_cache_dir', cache_dir)

@@ -20,11 +20,8 @@ MICROBATCH = int(os.environ.get('SWEEP_MICROBATCH', str(NFIBERS)))
 
 
 def enable_cache():
-    import jax
-    cache_dir = os.path.join(_REPO, '.jax_cache')
-    jax.config.update('jax_compilation_cache_dir', cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    from rvspecfit_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
 
 def build_setup(nfibers=None, microbatch=None, npoly=10, warm=True,
