@@ -86,6 +86,77 @@ def barrier(name='rvspecfit_tpu_barrier', timeout_ms=None):
     multihost_utils.sync_global_devices(name)
 
 
+def _kv_client():
+    """Coordination-service client, or None when the private API has
+    moved or no world is initialized."""
+    try:
+        from jax._src.distributed import global_state
+        return global_state.client
+    except Exception:
+        return None
+
+
+class CoordinatedFileQueue:
+    """Dynamic cross-host work distribution without a shared
+    filesystem — the reference MPIFileQueue's task-farm semantics
+    (reference: py/rvspecfit/utils.py:180-318) on the jax.distributed
+    coordination service instead of an MPI server thread.
+
+    Every rank holds the same ordered file list; a rank CLAIMS the
+    next unclaimed item only when it is ready to process it, through a
+    first-writer-wins key in the coordination-service key-value store.
+    A slow file therefore delays only its own rank and fast ranks
+    drain the tail — the dynamic balance that static
+    ``files[rank::world]`` sharding loses, with no server thread and
+    no shared filesystem (utils.FileQueue's lock-queue needs one).
+
+    Requires an initialized multi-process jax.distributed world and
+    the coordination client; raises RuntimeError otherwise so callers
+    can fall back to static sharding.
+    """
+
+    def __init__(self, file_list, name='rvst_cq'):
+        import jax
+
+        if jax.process_count() <= 1:
+            raise RuntimeError('CoordinatedFileQueue needs a '
+                               'multi-process jax.distributed world')
+        client = _kv_client()
+        if client is None:
+            raise RuntimeError('coordination-service client '
+                               'unavailable in this jax version')
+        self._client = client
+        self._list = list(file_list)
+        self._rank = jax.process_index()
+        self._name = name
+
+    def _try_claim(self, i):
+        key = f'{self._name}/{i}'
+        val = str(self._rank)
+        try:
+            self._client.key_value_set(key, val, allow_overwrite=False)
+            return True
+        except TypeError:
+            # older binding without allow_overwrite: plain set is
+            # itself first-writer-wins (raises on duplicate keys)
+            try:
+                self._client.key_value_set(key, val)
+                return True
+            except Exception:
+                return False
+        except Exception:
+            return False
+
+    def __iter__(self):
+        for i, f in enumerate(self._list):
+            if self._try_claim(i):
+                logging.info('claimed work item %d (%s)', i, f)
+                yield f
+
+    def shutdown(self):
+        pass
+
+
 def shutdown():
     import jax
 

@@ -1157,6 +1157,12 @@ def main(args=None):
     parser.add_argument('--input_file_from', type=str, default=None)
     parser.add_argument('--queue_file', action='store_true',
                         default=False)
+    parser.add_argument('--dynamic_queue', action='store_true',
+                        default=False,
+                        help='claim --input_file_from items dynamically '
+                        'across the jax.distributed world through the '
+                        'coordination service (no shared filesystem '
+                        'needed); requires --coordinator')
     parser.add_argument('--output_dir', type=str, required=True)
     parser.add_argument('--config', type=str, default=None)
     parser.add_argument('--templ_lib', type=str, default=None)
@@ -1294,7 +1300,14 @@ def main(args=None):
     if args.input_files:
         files = utils.FileQueue(file_list=args.input_files)
     elif args.input_file_from:
-        if args.world is not None or args.rank is not None:
+        if args.dynamic_queue:
+            # dynamic cross-host balance via the coordination service
+            # (reference MPIFileQueue semantics, utils.py:180-318)
+            from rvspecfit_tpu.parallel import distributed
+            with open(args.input_file_from) as fp:
+                lst = [ln.strip() for ln in fp if ln.strip()]
+            files = distributed.CoordinatedFileQueue(lst)
+        elif args.world is not None or args.rank is not None:
             with open(args.input_file_from) as fp:
                 lst = [ln.strip() for ln in fp if ln.strip()]
             files = utils.ShardedFileQueue(lst, rank=args.rank,
