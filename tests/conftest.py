@@ -36,6 +36,19 @@ from rvspecfit_tpu.utils import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+# READ-only cache in the suite process: XLA:CPU's
+# executable.serialize() segfaults in long-lived processes once many
+# programs have been compiled (observed deterministically at the
+# first large-program cache write past ~40 tests, with both stale and
+# freshly created cache dirs; the same program serializes fine from a
+# short-lived process).  The min-compile-time gate runs BEFORE
+# serialize, so raising it suppresses writes without affecting reads.
+# tools/seed_test_cache.py populates the cache safely (per-file
+# pytest subprocesses, retried — successful writes persist, so each
+# retry gets further).
+if os.environ.get('RVST_TEST_CACHE_WRITES') != '1':
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1e9)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

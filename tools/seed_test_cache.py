@@ -1,0 +1,79 @@
+"""Seed the persistent compilation cache for the test suite.
+
+The pytest process itself runs the cache READ-only (see
+tests/conftest.py: XLA:CPU's executable.serialize() segfaults in
+long-lived many-compile processes).  This tool populates the cache
+from SHORT-lived processes instead: one pytest subprocess per test
+file, with writes re-enabled (RVST_TEST_CACHE_WRITES=1).  A subprocess
+that still crashes mid-file is retried — every entry written before
+the crash persists, so each retry gets strictly further; files that
+keep crashing fall back to one process per test.
+
+Run once per host family (the cache is keyed by a host-CPU
+fingerprint, utils._host_cpu_fingerprint); afterwards plain
+`python -m pytest tests/ -q` runs entirely off cache hits.
+"""
+import glob
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_pytest(target, timeout=7200):
+    env = dict(os.environ, RVST_TEST_CACHE_WRITES='1')
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, '-m', 'pytest', target, '-q', '-p',
+         'no:cacheprovider'], env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=timeout)
+    return r.returncode, time.time() - t0, r.stdout.decode(
+        errors='replace')
+
+
+def collect_tests(fname):
+    r = subprocess.run(
+        [sys.executable, '-m', 'pytest', fname, '--collect-only', '-q'],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    return [ln.strip() for ln in r.stdout.decode().splitlines()
+            if '::' in ln]
+
+
+def main():
+    files = sys.argv[1:] or sorted(
+        glob.glob(os.path.join(REPO, 'tests', 'test_*.py')))
+    failures = []
+    for f in files:
+        ok = False
+        for attempt in range(3):
+            rc, dt, out = run_pytest(f)
+            print(f'{os.path.basename(f)} attempt {attempt + 1}: '
+                  f'rc={rc} ({dt:.0f}s)', flush=True)
+            if rc == 0:
+                ok = True
+                break
+        if not ok:
+            # last resort: per-test processes (fixtures rebuild each
+            # time — slow, but each process compiles few programs)
+            print(f'{os.path.basename(f)}: falling back to per-test '
+                  'seeding', flush=True)
+            ok = True
+            for t in collect_tests(f):
+                rc, dt, out = run_pytest(t)
+                print(f'  {t}: rc={rc} ({dt:.0f}s)', flush=True)
+                if rc != 0:
+                    ok = False
+                    failures.append(t)
+                    print(out[-2000:], flush=True)
+    if failures:
+        print('FAILED to seed:', failures, flush=True)
+        return 1
+    print('cache seeded', flush=True)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
