@@ -313,7 +313,7 @@ def main():
         last_stats['nm_wall'] = t[-1] - t[-2]
         xbest, fun = nmres['x'], nmres['fun']
         if config['second_minimizer']:
-            pol = bf.run_polish(mapper, xbest, fun0=fun, steps=3)
+            pol = bf.run_polish(mapper, xbest, fun0=fun)
             xbest, fun = pol['x'], pol['fun']
         t.append(time.time())
         vel_b, params_b, _ = mapper.unpack_host(xbest)

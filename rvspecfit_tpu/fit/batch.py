@@ -623,7 +623,7 @@ class BatchedFitter:
             self._objective_cache[pkey] = fns
         return fns
 
-    def warm(self, mapper, priors=None, steps=3, fatol=5e-2, xatol=None,
+    def warm(self, mapper, priors=None, steps=None, fatol=5e-2, xatol=None,
              nm_chunk=64, widths=None, skip=()):
         """Warm every pipeline program CONCURRENTLY (threaded).
 
@@ -880,7 +880,7 @@ class BatchedFitter:
         return dict(x=simplex_h[rows, ib], fun=fvals_h[rows, ib],
                     converged=done_h.copy(), obj_evals=evals[0])
 
-    def run_polish(self, mapper, x, priors=None, steps=2, fun0=None):
+    def run_polish(self, mapper, x, priors=None, steps=None, fun0=None):
         """Batched gradient polish — the ``second_minimizer`` stage.
 
         The reference runs a BFGS polish over [vel, params] after
@@ -902,8 +902,14 @@ class BatchedFitter:
         chi-square, so the polish never degrades the NM result.
 
         x : (B, nvec) NM optima; fun0 : optional (B,) NM best values.
+        ``steps`` defaults to the production value (2; env
+        ``RVST_POLISH_STEPS`` overrides for on-chip sweeps — bench and
+        drivers share this default so the benchmark measures the real
+        pipeline).
         Returns dict with x (B, nvec), fun (B,), moved (B,).
         """
+        if steps is None:
+            steps = int(os.environ.get('RVST_POLISH_STEPS', 2))
         key = ('polish', mapper.cache_key(), steps,
                os.environ.get('RVST_POLISH_FREEZE_H') == '1',
                None if priors is None else

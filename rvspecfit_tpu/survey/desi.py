@@ -749,8 +749,7 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
         import jax
         warm = jax.default_backend() not in ('cpu',)
     if warm and not getattr(bf, '_warmed', False):
-        bf.warm(mapper, steps=2 if config.get('second_minimizer')
-                else 0, skip=() if config.get('second_minimizer')
+        bf.warm(mapper, skip=() if config.get('second_minimizer')
                 else ('polish',))
     nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
     xbest, fun_best = nmres['x'], nmres['fun']

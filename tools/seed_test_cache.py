@@ -24,9 +24,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_pytest(target, timeout=7200):
     env = dict(os.environ, RVST_TEST_CACHE_WRITES='1')
+    targets = [target] if isinstance(target, str) else list(target)
     t0 = time.time()
     r = subprocess.run(
-        [sys.executable, '-m', 'pytest', target, '-q', '-p',
+        [sys.executable, '-m', 'pytest', *targets, '-q', '-p',
          'no:cacheprovider'], env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         timeout=timeout)
@@ -56,17 +57,24 @@ def main():
                 ok = True
                 break
         if not ok:
-            # last resort: per-test processes (fixtures rebuild each
-            # time — slow, but each process compiles few programs)
-            print(f'{os.path.basename(f)}: falling back to per-test '
+            # fall back to small groups of tests per process: session
+            # fixtures rebuild once per group instead of once per
+            # test, while per-process compile accumulation stays low
+            print(f'{os.path.basename(f)}: falling back to chunked '
                   'seeding', flush=True)
-            ok = True
-            for t in collect_tests(f):
-                rc, dt, out = run_pytest(t)
-                print(f'  {t}: rc={rc} ({dt:.0f}s)', flush=True)
+            tests = collect_tests(f)
+            chunk = 5
+            for i in range(0, len(tests), chunk):
+                group = tests[i:i + chunk]
+                rc = dt = out = None
+                for attempt in range(2):
+                    rc, dt, out = run_pytest(group)
+                    if rc == 0:
+                        break
+                print(f'  chunk {i // chunk}: rc={rc} ({dt:.0f}s)',
+                      flush=True)
                 if rc != 0:
-                    ok = False
-                    failures.append(t)
+                    failures.extend(group)
                     print(out[-2000:], flush=True)
     if failures:
         print('FAILED to seed:', failures, flush=True)
