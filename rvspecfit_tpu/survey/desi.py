@@ -751,18 +751,33 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     if warm and not getattr(bf, '_warmed', False):
         bf.warm(mapper, skip=() if config.get('second_minimizer')
                 else ('polish',))
+    # per-phase wall timing at DEBUG (reference logs per-file phase
+    # timings the same way, desi_fit.py:1018-1298)
+    _pt = [time.time()]
+    _ph = []
+
+    def _phase(name):
+        _pt.append(time.time())
+        _ph.append(f'{name}={_pt[-1] - _pt[-2]:.2f}s')
+
     nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
     xbest, fun_best = nmres['x'], nmres['fun']
+    _phase('nm')
     if config.get('second_minimizer'):
         # batched gradient polish (reference default-on BFGS stage,
         # desi_fit.py -> vel_fit.py:653-660)
         pol = bf.run_polish(mapper, xbest, fun0=fun_best)
         xbest, fun_best = pol['x'], pol['fun']
+        _phase('polish')
     vel_b, params_b, vsini_b = mapper.unpack_host(xbest)
     ref = bf.refine_velocities(vel_b, params_b, vsinis=vsini_b)
+    _phase('refine')
     errs, covars, bad_hess = bf.hessian_errors(
         ref['best_vel'], params_b, vsinis=vsini_b, parnames=parnames)
+    _phase('hessian')
     mods = bf.best_models(ref['best_vel'], params_b, vsinis=vsini_b)
+    _phase('models')
+    logging.debug('fit phases: %s', ' '.join(_ph))
 
     # ---- assemble results ----
     res = {}
