@@ -188,17 +188,25 @@ def driver_e2e():
 
     _os.makedirs(E2E_DIR, exist_ok=True)
     lib = _build_e2e_library(E2E_DIR)
+    # --coalesce K fits K files per device batch; measuring its steady
+    # state needs the files after the first (cold) group
+    coal = int(_os.environ.get('BENCH_E2E_COALESCE', '1'))
+    nfiles = int(_os.environ.get('BENCH_E2E_NFILES', '0')) or \
+        (E2E_NFILES if coal <= 1 else 3 * coal)
     files, truths = [], []
-    for i in range(E2E_NFILES):
+    for i in range(nfiles):
         f, t = _build_e2e_coadd(E2E_DIR, i)
         files.append(f)
         truths.append(t)
     outdir = _os.path.join(E2E_DIR, 'out')
     status = _os.path.join(E2E_DIR, 'status.txt')
     t0 = time.time()
-    desi.main(files + ['--output_dir', outdir, '--templ_lib', lib,
-                       '--process_status_file', status,
-                       '--throw_exceptions'])
+    argv = files + ['--output_dir', outdir, '--templ_lib', lib,
+                    '--process_status_file', status,
+                    '--throw_exceptions']
+    if coal > 1:
+        argv += ['--coalesce', str(coal)]
+    desi.main(argv)
     wall = time.time() - t0
     times = {}
     with open(status) as fp:
@@ -206,11 +214,17 @@ def driver_e2e():
             parts = line.split()
             times[_os.path.basename(parts[0])] = float(parts[3])
     t_cold = times[_os.path.basename(files[0])]
-    t_steady = times[_os.path.basename(files[-1])]
+    if coal > 1:
+        # recorded per-file time is group wall / group size; average
+        # every file after the cold first group
+        t_steady = float(np.mean(
+            [times[_os.path.basename(f)] for f in files[coal:]]))
+    else:
+        t_steady = times[_os.path.basename(files[-1])]
 
     # recovery gate on the steady file
     tab = fitsio.read(_os.path.join(
-        outdir, f'rvtab-bench{E2E_NFILES - 1}.fits'))
+        outdir, f'rvtab-bench{nfiles - 1}.fits'))
     rv = tab['RVTAB'].data
     truth = truths[-1]
     dv = rv['VRAD'] - truth['vel'][:len(rv['VRAD'])]
@@ -225,7 +239,8 @@ def driver_e2e():
     return dict(driver_e2e_fps=round(NFIBERS / t_steady, 3),
                 driver_e2e_steady_s=round(t_steady, 2),
                 driver_e2e_cold_s=round(t_cold, 1),
-                driver_e2e_ok=int(ok.sum()))
+                driver_e2e_ok=int(ok.sum()),
+                driver_e2e_coalesce=coal)
 
 
 def main():

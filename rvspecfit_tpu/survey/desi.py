@@ -609,21 +609,19 @@ def _get_fitter(arms, templates, config, options, fit_vsini):
     return bf
 
 
-def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
-              setups=('b', 'r', 'z'), minsn=-1e9, fit_targetid=None,
-              expid_range=None, ccf_init=True, use_resolution_matrix=False,
-              zbest_path=None, zbest_select=False, objtype_mask=None,
-              objtypes=None, npoly=10, doplot=False, templates=None,
-              fitarm=None, cmdline=None, prehdus=None):
-    """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
+def _prepare_one(fname, config, setups=('b', 'r', 'z'), minsn=-1e9,
+                 fit_targetid=None, expid_range=None,
+                 use_resolution_matrix=False, zbest_path=None,
+                 zbest_select=False, objtype_mask=None, objtypes=None,
+                 fitarm=None, prehdus=None):
+    """Host-side stage of one file: read, validate, select, stack arms.
 
-    ``prehdus``: optionally a pre-read FITS object for ``fname``
-    (proc_many's lookahead thread reads the next file while the
-    current one is fitting on the device).
-
-    Returns the number of fitted objects (0 when nothing selected).
+    Returns a dict with everything the device stage (_run_group_fit)
+    and the writer (_finish_one) need; when nothing is selected the
+    dict carries only what _write_empty needs (``nsel == 0``).  The
+    prepare/fit/write split is what lets proc_desi_group concatenate
+    several files' fibers into ONE device batch.
     """
-    t0 = time.time()
     if fitarm is not None:
         setups = tuple(s for s in setups if s in fitarm)
         if not setups:
@@ -648,27 +646,32 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
         objtypes=objtypes)
     nsel = int(subset.sum())
     logging.info('%s: selected %d/%d fibers', fname, nsel, len(subset))
+    prep = dict(fname=fname, setups=setups, waves=waves,
+                spectrum_header=spectrum_header, fibermap=fibermap,
+                scores=scores, exp_fibermap=exp_fibermap, sns=sns,
+                rr_info=rr_info, zbest_path=zbest_path, nsel=nsel)
     if nsel == 0:
-        _write_empty(tab_ofname, mod_ofname, setups, waves, fibermap,
-                     scores=scores, exp_fibermap=exp_fibermap,
-                     config=config, cmdline=cmdline,
-                     templates=templates,
-                     spectrum_header=spectrum_header,
-                     zbest_path=zbest_path)
-        return 0
-
-    if templates is None:
-        templates = library.load_template_models(
-            config, {f'desi_{s}' for s in setups})
+        return prep
 
     lsf_sigma0 = config.get('lsf_sigma0_angstrom') or {}
     arms, goodmask = build_batch_arms(
         waves, fluxes, ivars, masks, resolutions, subset, setups,
         use_resolution_matrix=use_resolution_matrix,
         lsf_sigma0_angstrom=lsf_sigma0)
+    prep.update(arms=arms, goodmask=goodmask,
+                idx=np.nonzero(subset)[0])
+    return prep
 
-    idx = np.nonzero(subset)[0]
-    nf = len(idx)
+
+def _run_group_fit(arms, templates, config, options, ccf_init=True):
+    """Device stage over a (possibly multi-file) stacked fiber batch:
+    CCF init -> NM -> gradient polish -> velocity refinement -> AD
+    Hessian errors -> best-fit models (the reference's per-fiber chain,
+    desi_fit.py:226-420).  Returns per-fiber arrays only — no file
+    identity — so a concatenated multi-file batch can be sliced back
+    apart by _finish_one.
+    """
+    nf = arms[0].nfibers
     parnames = templates[arms[0].setup].parnames
 
     # ---- CCF initialization (or brute-force first guess) ----
@@ -778,8 +781,32 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
     mods = bf.best_models(ref['best_vel'], params_b, vsinis=vsini_b)
     _phase('models')
     logging.debug('fit phases: %s', ' '.join(_ph))
+    return dict(ref=ref, params=params_b, vsini=vsini_b, errs=errs,
+                bad_hess=bad_hess, converged=nmres['converged'],
+                mods=mods, ccf_cols=ccf_cols, vrad_ccf=vrad_ccf,
+                parnames=parnames)
 
-    # ---- assemble results ----
+
+def _finish_one(prep, fit, lo, tab_ofname, mod_ofname, fig_prefix,
+                config, arms, doplot=False, cmdline=None,
+                templates=None):
+    """Assemble one file's rows from its slice [lo, lo+nsel) of a
+    (possibly multi-file) group fit and write RVTAB/RVMOD (+ plots)."""
+    nf = prep['nsel']
+    sl = slice(lo, lo + nf)
+    ref = {k: np.asarray(v)[sl] for k, v in fit['ref'].items()}
+    mods = {k: {an: np.asarray(v)[sl] for an, v in d.items()}
+            for k, d in fit['mods'].items()}
+    params_b = np.asarray(fit['params'])[sl]
+    vsini_b = np.asarray(fit['vsini'])[sl]
+    errs = np.asarray(fit['errs'])[sl]
+    parnames = fit['parnames']
+    idx = prep['idx']
+    sns = prep['sns']
+    setups = prep['setups']
+    fibermap = prep['fibermap']
+    goodmask = prep['goodmask']
+
     res = {}
     res['VRAD'] = ref['best_vel']
     res['VRAD_ERR'] = ref['vel_err']
@@ -800,17 +827,17 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
         res['CHISQ_%s' % s.upper()] = mods['chisq'][a.name]
         res['CHISQ_C_%s' % s.upper()] = mods['cont_chisq'][a.name]
         res['SN_%s' % s.upper()] = sns[s][idx]
-    res['VRAD_CCF'] = vrad_ccf
-    for k, v in ccf_cols.items():
-        res[k] = v
-    res['BAD_HESSIAN'] = bad_hess
-    res['SUCCESS'] = nmres['converged'] & goodmask
+    res['VRAD_CCF'] = np.asarray(fit['vrad_ccf'])[sl]
+    for k, v in fit['ccf_cols'].items():
+        res[k] = np.asarray(v)[sl]
+    res['BAD_HESSIAN'] = np.asarray(fit['bad_hess'])[sl]
+    res['SUCCESS'] = np.asarray(fit['converged'])[sl] & goodmask
     res['RVS_WARN'] = get_rvs_warn_batch(res, config)
     res['RVS_WARN'] |= np.where(~goodmask, bitmasks['BAD_SPECTRUM'], 0)
     res['TARGETID'] = fibermap['TARGETID'][idx]
     if 'EXPID' in fibermap:
         res['EXPID'] = fibermap['EXPID'][idx]
-    for k, v in rr_info.items():
+    for k, v in prep['rr_info'].items():
         res[k] = np.asarray(v)[idx]
 
     if doplot and fig_prefix:
@@ -822,21 +849,221 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
                          res['VRAD_ERR'][k]))
             try:
                 make_plot([a.lam for a in arms],
-                          [a.flux[k] for a in arms],
+                          [a.flux[lo + k] for a in arms],
                           [mods['models'][a.name][k] for a in arms],
                           title, f'{fig_prefix}_{res["TARGETID"][k]}.png')
             except Exception as exc:
                 logging.warning('plotting failed: %s', exc)
 
-    _write_outputs(tab_ofname, mod_ofname, res, mods, arms, waves,
-                   fibermap, idx, setups, config, fname,
-                   scores=scores, exp_fibermap=exp_fibermap,
+    _write_outputs(tab_ofname, mod_ofname, res, mods, arms,
+                   prep['waves'], fibermap, idx, setups, config,
+                   prep['fname'], scores=prep['scores'],
+                   exp_fibermap=prep['exp_fibermap'],
                    cmdline=cmdline, templates=templates,
-                   spectrum_header=spectrum_header,
-                   zbest_path=zbest_path)
-    logging.info('%s: fitted %d fibers in %.1f s', fname, nf,
+                   spectrum_header=prep['spectrum_header'],
+                   zbest_path=prep['zbest_path'])
+
+
+def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
+              setups=('b', 'r', 'z'), minsn=-1e9, fit_targetid=None,
+              expid_range=None, ccf_init=True, use_resolution_matrix=False,
+              zbest_path=None, zbest_select=False, objtype_mask=None,
+              objtypes=None, npoly=10, doplot=False, templates=None,
+              fitarm=None, cmdline=None, prehdus=None):
+    """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
+
+    ``prehdus``: optionally a pre-read FITS object for ``fname``
+    (proc_many's lookahead thread reads the next file while the
+    current one is fitting on the device).
+
+    Returns the number of fitted objects (0 when nothing selected).
+    """
+    t0 = time.time()
+    prep = _prepare_one(fname, config, setups=setups, minsn=minsn,
+                        fit_targetid=fit_targetid,
+                        expid_range=expid_range,
+                        use_resolution_matrix=use_resolution_matrix,
+                        zbest_path=zbest_path, zbest_select=zbest_select,
+                        objtype_mask=objtype_mask, objtypes=objtypes,
+                        fitarm=fitarm, prehdus=prehdus)
+    if prep['nsel'] == 0:
+        _write_empty(tab_ofname, mod_ofname, prep['setups'],
+                     prep['waves'], prep['fibermap'],
+                     scores=prep['scores'],
+                     exp_fibermap=prep['exp_fibermap'], config=config,
+                     cmdline=cmdline, templates=templates,
+                     spectrum_header=prep['spectrum_header'],
+                     zbest_path=prep['zbest_path'])
+        return 0
+    if templates is None:
+        templates = library.load_template_models(
+            config, {f'desi_{s}' for s in prep['setups']})
+    fit = _run_group_fit(prep['arms'], templates, config, options,
+                         ccf_init=ccf_init)
+    _finish_one(prep, fit, 0, tab_ofname, mod_ofname, fig_prefix,
+                config, prep['arms'], doplot=doplot, cmdline=cmdline,
+                templates=templates)
+    logging.info('%s: fitted %d fibers in %.1f s', fname, prep['nsel'],
                  time.time() - t0)
-    return nf
+    return prep['nsel']
+
+
+def _log_crash(fname, info, throw):
+    """Crash-isolation bookkeeping shared by the per-file wrapper and
+    the group path (reference: desi_fit.py:1311)."""
+    crashfile = 'crash_%d_%d.log' % (os.getpid(), int(time.time()))
+    with open(crashfile, 'w') as fp:
+        fp.write('File: %s\nInfo: %s\n' % (fname, info))
+        fp.write(traceback.format_exc())
+    logging.exception('Failed processing %s (crash log %s)', fname,
+                      crashfile)
+    if throw:
+        raise
+
+
+def _arm_group_key(prep):
+    """Program/batch-compatibility key: files whose arms share names,
+    wavelength grids and resolution structure may be concatenated into
+    one fit batch (and hit the same compiled programs)."""
+    import hashlib
+    ks = []
+    for a in prep['arms']:
+        res = a.resolution
+        h = hashlib.sha1(
+            np.ascontiguousarray(a.lam).tobytes()).hexdigest()[:16]
+        ks.append((a.name, a.setup, h,
+                   None if res is None else int(np.asarray(res).shape[1])))
+    return (tuple(prep['setups']), tuple(ks))
+
+
+def _concat_arms(arm_lists):
+    """Concatenate per-file BatchArm lists along the fiber axis."""
+    out = []
+    for parts in zip(*arm_lists):
+        a0 = parts[0]
+        res = None
+        if a0.resolution is not None:
+            res = np.concatenate(
+                [np.asarray(p.resolution) for p in parts], axis=0)
+        out.append(BatchArm(
+            a0.name, a0.lam,
+            np.concatenate([p.flux for p in parts], axis=0),
+            np.concatenate([p.ivar for p in parts], axis=0),
+            badmask=np.concatenate([p.badmask for p in parts], axis=0),
+            resolution=res, setup=a0.setup))
+    return out
+
+
+def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
+                    config, options, setups=('b', 'r', 'z'), minsn=-1e9,
+                    fit_targetid=None, expid_range=None, ccf_init=True,
+                    use_resolution_matrix=False, zbest_paths=None,
+                    zbest_select=False, objtype_mask=None, objtypes=None,
+                    npoly=10, doplot=False, templates=None, fitarm=None,
+                    cmdline=None, prehdus_list=None,
+                    throw_exceptions=False):
+    """Fit several DESI files as ONE device batch (``--coalesce``).
+
+    The fiber batches of compatible files (same arm names, wavelength
+    grids and resolution structure — _arm_group_key) are concatenated
+    and run through the batched fitter together: NM straggler-
+    compaction rounds pack ALL files' unconverged fibers into shared
+    tiles, and every pipeline phase pays its host<->device dispatch
+    round-trip once per group instead of once per file.  The compiled
+    programs are unchanged (fibers are microbatch tiles either way),
+    and per-fiber results are bit-identical to per-file runs because
+    every program is elementwise over the fiber axis.
+
+    One deliberate semantic difference: whether rotation is modeled
+    (fit_vsini) is decided from the CCF result of the whole group,
+    not per file (the reference decides per spectrum,
+    desi_fit.py:293-299).
+
+    Per-file crash isolation is preserved: a file that fails to read
+    or prepare gets a crash log and a None count without sinking its
+    group; if a group FIT fails, each member retries independently.
+
+    Returns per-file fitted-object counts (None = failure), aligned
+    with ``fnames``.
+    """
+    n = len(fnames)
+    prehdus_list = prehdus_list or [None] * n
+    zbest_paths = zbest_paths or [None] * n
+    counts = [None] * n
+    preps = [None] * n
+    for i, f in enumerate(fnames):
+        try:
+            preps[i] = _prepare_one(
+                f, config, setups=setups, minsn=minsn,
+                fit_targetid=fit_targetid, expid_range=expid_range,
+                use_resolution_matrix=use_resolution_matrix,
+                zbest_path=zbest_paths[i], zbest_select=zbest_select,
+                objtype_mask=objtype_mask, objtypes=objtypes,
+                fitarm=fitarm, prehdus=prehdus_list[i])
+        except Exception:
+            _log_crash(f, 'prepare', throw_exceptions)
+    for i, p in enumerate(preps):
+        if p is not None and p['nsel'] == 0:
+            try:
+                _write_empty(tab_ofnames[i], mod_ofnames[i], p['setups'],
+                             p['waves'], p['fibermap'],
+                             scores=p['scores'],
+                             exp_fibermap=p['exp_fibermap'],
+                             config=config, cmdline=cmdline,
+                             templates=templates,
+                             spectrum_header=p['spectrum_header'],
+                             zbest_path=p['zbest_path'])
+                counts[i] = 0
+            except Exception:
+                _log_crash(p['fname'], 'write_empty', throw_exceptions)
+
+    live = [i for i, p in enumerate(preps)
+            if p is not None and p['nsel'] > 0]
+    if not live:
+        return counts
+    if templates is None:
+        templates = library.load_template_models(
+            config, {f'desi_{s}' for s in preps[live[0]]['setups']})
+
+    groups = {}
+    for i in live:
+        groups.setdefault(_arm_group_key(preps[i]), []).append(i)
+    for members in groups.values():
+        group_arms = _concat_arms([preps[i]['arms'] for i in members]) \
+            if len(members) > 1 else preps[members[0]]['arms']
+        try:
+            fit = _run_group_fit(group_arms, templates, config, options,
+                                 ccf_init=ccf_init)
+            lo = 0
+            for i in members:
+                p = preps[i]
+                try:
+                    _finish_one(p, fit, lo, tab_ofnames[i],
+                                mod_ofnames[i], fig_prefixes[i], config,
+                                group_arms, doplot=doplot,
+                                cmdline=cmdline, templates=templates)
+                    counts[i] = p['nsel']
+                except Exception:
+                    _log_crash(p['fname'], 'write', throw_exceptions)
+                lo += p['nsel']
+        except Exception:
+            logging.exception('group fit of %d files failed; retrying '
+                              'per-file', len(members))
+            if throw_exceptions:
+                raise
+            for i in members:
+                p = preps[i]
+                try:
+                    fit = _run_group_fit(p['arms'], templates, config,
+                                         options, ccf_init=ccf_init)
+                    _finish_one(p, fit, 0, tab_ofnames[i],
+                                mod_ofnames[i], fig_prefixes[i], config,
+                                p['arms'], doplot=doplot,
+                                cmdline=cmdline, templates=templates)
+                    counts[i] = p['nsel']
+                except Exception:
+                    _log_crash(p['fname'], 'per-file retry', False)
+    return counts
 
 
 def make_plot(lam_list, flux_list, model_list, title, fig_fname):
@@ -1026,26 +1253,28 @@ def proc_desi_wrapper(*args, **kwargs):
     try:
         return proc_desi(*args, **kwargs)
     except Exception:
-        crashfile = 'crash_%d_%d.log' % (os.getpid(), int(time.time()))
-        with open(crashfile, 'w') as fp:
-            fp.write('Args: %s %s\n' % (args, kwargs))
-            fp.write(traceback.format_exc())
-        logging.exception('Failed processing %s (crash log %s)',
-                          args[0] if args else '?', crashfile)
-        if throw:
-            raise
+        _log_crash(args[0] if args else '?',
+                   'Args: %s %s' % (args, kwargs), throw)
         return None
 
 
 def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
               output_mod_prefix=MODEL_PREFIX, config=None, options=None,
               skipexisting=False, status_fname=None, figure_dir=None,
-              figure_prefix='fig', **proc_kwargs):
+              figure_prefix='fig', coalesce=1, **proc_kwargs):
     """Process a sequence of files (reference: desi_fit.py:1392-1551).
 
     ``figure_dir``/``figure_prefix``: where diagnostic plots go when
     plotting is enabled (reference: desi_fit.py:1396-1397,1500-1510);
     default is ``output_dir`` with prefix ``fig``.
+
+    ``coalesce``: fit up to this many consecutive compatible files as
+    ONE device batch (see proc_desi_group) — amortizes per-phase
+    dispatch round-trips and packs all files' NM stragglers into
+    shared tiles.  Needs a statically-known file list (queue inputs
+    stay serial: claims happen on pop, and early claims widen the
+    crash-loss window).  Host memory holds ~2x``coalesce`` files
+    (current group + prefetched next group).
     """
     os.makedirs(output_dir, exist_ok=True)
     if status_fname:
@@ -1080,6 +1309,109 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
     else:
         flist = None
     slot = {}
+
+    coalesce = max(1, int(coalesce or 1))
+    if coalesce > 1 and flist is None:
+        logging.info('--coalesce needs a statically-known file list; '
+                     'queue inputs stay serial')
+        coalesce = 1
+    if coalesce > 1:
+        import threading
+        pfmap = {}
+
+        def prefetch_many(fs):
+            for f in fs:
+                if f in pfmap:
+                    continue
+                ev, holder = threading.Event(), {}
+
+                def go(f=f, ev=ev, holder=holder):
+                    try:
+                        holder['fp'] = fitsio.read(f)
+                    except Exception:
+                        holder['fp'] = None
+                    ev.set()
+                threading.Thread(target=go, daemon=True).start()
+                pfmap[f] = (ev, holder)
+
+        work = []
+        for f in flist:
+            t0 = time.time()
+            base, tabf, modf = output_paths(f)
+            if skipexisting and os.path.exists(tabf) \
+                    and os.path.exists(modf):
+                logging.info('skipping existing %s', f)
+                if status_fname:
+                    update_process_status_file(
+                        status_fname, f, PROC_STATUS_EXISTING, 0,
+                        time.time() - t0)
+                continue
+            work.append((f, base, tabf, modf))
+
+        kw = dict(proc_kwargs)
+        zbest_from_coadd = kw.pop('zbest_from_coadd', False)
+        doplot_figs = kw.pop('doplot_figs', False)
+        doplot = kw.pop('doplot', False) or doplot_figs
+        throw = kw.pop('throw_exceptions', False)
+        kw.pop('prehdus', None)
+        zbest_path0 = kw.pop('zbest_path', None)
+        templates = kw.pop('templates', None)
+        if templates is None and config is not None:
+            try:
+                templates = library.load_template_models(
+                    config, {f'desi_{s}'
+                             for s in kw.get('setups', ('b', 'r', 'z'))})
+            except Exception:
+                templates = None
+        i = 0
+        while i < len(work):
+            grp = work[i:i + coalesce]
+            i += len(grp)
+            fnames = [g[0] for g in grp]
+            prefetch_many(fnames)
+            # next group's reads overlap this group's device fit
+            prefetch_many([g[0] for g in work[i:i + coalesce]])
+            prehdus_list = []
+            for f in fnames:
+                ev, holder = pfmap.pop(f)
+                ev.wait()
+                prehdus_list.append(holder.get('fp'))
+            zpaths = []
+            for f in fnames:
+                zb = zbest_path0
+                if zbest_from_coadd:
+                    cand = os.path.join(
+                        os.path.dirname(f),
+                        os.path.basename(f).replace('coadd-',
+                                                    'redrock-'))
+                    if os.path.exists(cand):
+                        zb = cand
+                zpaths.append(zb)
+            figs = []
+            for (f, base, _, _) in grp:
+                if doplot_figs:
+                    fdir = figure_dir or output_dir
+                    os.makedirs(fdir, exist_ok=True)
+                    figs.append(os.path.join(
+                        fdir, f'{figure_prefix}-{base}'))
+                else:
+                    figs.append(None)
+            t0 = time.time()
+            counts = proc_desi_group(
+                fnames, [g[2] for g in grp], [g[3] for g in grp], figs,
+                config, options or {}, templates=templates,
+                prehdus_list=prehdus_list, zbest_paths=zpaths,
+                doplot=doplot, throw_exceptions=throw, **kw)
+            dt = (time.time() - t0) / len(grp)
+            for f, nobj in zip(fnames, counts):
+                if status_fname:
+                    status = PROC_STATUS_SUCCESS if nobj is not None \
+                        else PROC_STATUS_FAILURE
+                    update_process_status_file(status_fname, f, status,
+                                               nobj or 0, dt)
+        if hasattr(files, 'shutdown'):
+            files.shutdown()
+        return
 
     def next_unskipped(i):
         while flist is not None and i < len(flist):
@@ -1236,6 +1568,10 @@ def main(args=None):
     parser.add_argument('--nthreads', type=int, default=None,
                         help='ignored (reference compatibility): '
                         'fibers are fitted as one device batch')
+    parser.add_argument('--coalesce', type=int, default=1,
+                        help='fit up to N consecutive compatible files '
+                        'as one device batch (amortizes dispatch '
+                        'latency; static file lists only)')
     parser.add_argument('--skipexisting', action='store_true',
                         default=False)
     parser.add_argument('--throw_exceptions', action='store_true',
@@ -1342,6 +1678,7 @@ def main(args=None):
                   status_fname=status_fname,
                   figure_dir=args.figure_dir,
                   figure_prefix=args.figure_prefix,
+                  coalesce=args.coalesce,
                   cmdline=cmdline,
                   setups=tuple(args.setups.split(',')),
                   minsn=args.minsn, fit_targetid=fit_targetid,

@@ -619,3 +619,83 @@ def test_prewarm_cli(coadd_file, desi_library):
     rc = prewarm.main(['--like', fname, '--templ_lib', desi_library,
                        '--nfibers', '4', '--log_level', 'WARNING'])
     assert rc == 0
+
+def test_desi_coalesce_matches_per_file(coadd_file, desi_library,
+                                        tmp_path):
+    """--coalesce 2 fits two files as ONE device batch
+    (proc_desi_group); outputs must match per-file runs exactly —
+    every fitter program is elementwise over the fiber axis, so
+    concatenation cannot change per-fiber results — and the per-file
+    RVTAB/RVMOD/status structure must be preserved."""
+    import shutil
+    fname, truth = coadd_file
+    f2 = str(tmp_path / 'coadd-test2.fits')
+    shutil.copy(fname, f2)
+    out_s = str(tmp_path / 'out_serial')
+    out_c = str(tmp_path / 'out_coalesced')
+    status = str(tmp_path / 'status_c.txt')
+    desi.main([fname, f2, '--output_dir', out_s, '--templ_lib',
+               desi_library, '--throw_exceptions'])
+    desi.main([fname, f2, '--output_dir', out_c, '--templ_lib',
+               desi_library, '--coalesce', '2',
+               '--process_status_file', status,
+               '--throw_exceptions'])
+    for base in ('test', 'test2'):
+        tabs = fitsio.read(os.path.join(out_s, f'rvtab-{base}.fits'))
+        tabc = fitsio.read(os.path.join(out_c, f'rvtab-{base}.fits'))
+        rvs, rvc = tabs['RVTAB'].data, tabc['RVTAB'].data
+        assert len(rvc['VRAD']) == NFIB - 1
+        np.testing.assert_array_equal(rvs['TARGETID'], rvc['TARGETID'])
+        for col in ('VRAD', 'VRAD_ERR', 'TEFF', 'LOGG', 'FEH',
+                    'ALPHAFE', 'CHISQ_TOT', 'RVS_WARN', 'SUCCESS',
+                    'VRAD_CCF', 'CHISQ_CCF'):
+            np.testing.assert_allclose(
+                np.asarray(rvs[col], float),
+                np.asarray(rvc[col], float),
+                rtol=0, atol=1e-8, err_msg=col)
+        mods = fitsio.read(os.path.join(out_s, f'rvmod-{base}.fits'))
+        modc = fitsio.read(os.path.join(out_c, f'rvmod-{base}.fits'))
+        for s in DESI_ARMS:
+            np.testing.assert_allclose(
+                mods[f'{s.upper()}_MODEL'].data,
+                modc[f'{s.upper()}_MODEL'].data, rtol=0, atol=1e-6)
+    with open(status) as fp:
+        lines = fp.read().strip().splitlines()
+    assert len(lines) == 2 and all('SUCCESS' in ln for ln in lines)
+
+
+def _truncate_coadd(fname, out, ncut=7):
+    """Copy a coadd with every spectral HDU cut by ``ncut`` pixels —
+    an arm-structure-incompatible file for sub-group partitioning."""
+    f = fitsio.read(fname)
+    specs = [dict(kind='image', data=None)]
+    spectral = ('_WAVELENGTH', '_FLUX', '_IVAR', '_MASK')
+    for h in f.hdus[1:]:
+        if isinstance(h.data, dict):
+            specs.append(dict(kind='table',
+                              data=list(h.data.items()), name=h.name))
+        else:
+            d = h.data
+            if any(h.name.endswith(sfx) for sfx in spectral):
+                d = d[..., :-ncut]
+            specs.append(dict(kind='image', data=d, name=h.name))
+    fitsio.write(out, specs)
+
+
+def test_desi_coalesce_incompatible_files(coadd_file, desi_library,
+                                          tmp_path):
+    """A coalesce window mixing incompatible arm structures splits
+    into independent sub-group fits (_arm_group_key): both files'
+    outputs are written with the right row counts."""
+    fname, truth = coadd_file
+    f3 = str(tmp_path / 'coadd-test3.fits')
+    _truncate_coadd(fname, f3)
+    outdir = str(tmp_path / 'out_mixed')
+    desi.main([fname, f3, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--coalesce', '2', '--fitarm', 'b',
+               '--throw_exceptions'])
+    for base in ('test', 'test3'):
+        tab = fitsio.read(os.path.join(outdir, f'rvtab-{base}.fits'))
+        rv = tab['RVTAB'].data
+        assert len(rv['VRAD']) == NFIB - 1, base
+        assert np.isfinite(rv['VRAD']).all(), base
