@@ -869,12 +869,20 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
               expid_range=None, ccf_init=True, use_resolution_matrix=False,
               zbest_path=None, zbest_select=False, objtype_mask=None,
               objtypes=None, npoly=10, doplot=False, templates=None,
-              fitarm=None, cmdline=None, prehdus=None):
+              fitarm=None, cmdline=None, prehdus=None,
+              defer_finish=False):
     """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
 
     ``prehdus``: optionally a pre-read FITS object for ``fname``
     (proc_many's lookahead thread reads the next file while the
     current one is fitting on the device).
+
+    ``defer_finish``: return ``(nsel, finish)`` instead of writing the
+    outputs inline — ``finish()`` fetches the best-fit models from the
+    device, assembles the rows and writes RVTAB/RVMOD (+ plots).
+    proc_many runs it on a writer thread so one file's output I/O
+    overlaps the next file's device fit (the device half of the
+    reference's process-pool overlap, desi_fit.py:1471-1481).
 
     Returns the number of fitted objects (0 when nothing selected).
     """
@@ -894,17 +902,23 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
                      cmdline=cmdline, templates=templates,
                      spectrum_header=prep['spectrum_header'],
                      zbest_path=prep['zbest_path'])
-        return 0
+        return (0, None) if defer_finish else 0
     if templates is None:
         templates = library.load_template_models(
             config, {f'desi_{s}' for s in prep['setups']})
     fit = _run_group_fit(prep['arms'], templates, config, options,
                          ccf_init=ccf_init)
-    _finish_one(prep, fit, 0, tab_ofname, mod_ofname, fig_prefix,
-                config, prep['arms'], doplot=doplot, cmdline=cmdline,
-                templates=templates)
-    logging.info('%s: fitted %d fibers in %.1f s', fname, prep['nsel'],
-                 time.time() - t0)
+
+    def finish(templates=templates):
+        _finish_one(prep, fit, 0, tab_ofname, mod_ofname, fig_prefix,
+                    config, prep['arms'], doplot=doplot,
+                    cmdline=cmdline, templates=templates)
+        logging.info('%s: fitted %d fibers in %.1f s', fname,
+                     prep['nsel'], time.time() - t0)
+
+    if defer_finish:
+        return prep['nsel'], finish
+    finish()
     return prep['nsel']
 
 
@@ -961,7 +975,7 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
                     zbest_select=False, objtype_mask=None, objtypes=None,
                     npoly=10, doplot=False, templates=None, fitarm=None,
                     cmdline=None, prehdus_list=None,
-                    throw_exceptions=False):
+                    throw_exceptions=False, defer_finish=False):
     """Fit several DESI files as ONE device batch (``--coalesce``).
 
     The fiber batches of compatible files (same arm names, wavelength
@@ -984,7 +998,11 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
     group; if a group FIT fails, each member retries independently.
 
     Returns per-file fitted-object counts (None = failure), aligned
-    with ``fnames``.
+    with ``fnames``.  With ``defer_finish`` returns
+    ``(counts, finish)`` instead, where ``finish()`` performs all
+    member output writes and returns the final counts — proc_many runs
+    it on a writer thread so this group's output I/O overlaps the next
+    group's device fit.
     """
     n = len(fnames)
     prehdus_list = prehdus_list or [None] * n
@@ -1028,6 +1046,7 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
     groups = {}
     for i in live:
         groups.setdefault(_arm_group_key(preps[i]), []).append(i)
+    pending = []          # deferred per-member write closures
     for members in groups.values():
         group_arms = _concat_arms([preps[i]['arms'] for i in members]) \
             if len(members) > 1 else preps[members[0]]['arms']
@@ -1037,14 +1056,20 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
             lo = 0
             for i in members:
                 p = preps[i]
-                try:
-                    _finish_one(p, fit, lo, tab_ofnames[i],
-                                mod_ofnames[i], fig_prefixes[i], config,
-                                group_arms, doplot=doplot,
-                                cmdline=cmdline, templates=templates)
-                    counts[i] = p['nsel']
-                except Exception:
-                    _log_crash(p['fname'], 'write', throw_exceptions)
+
+                def write_one(i=i, p=p, lo=lo, fit=fit,
+                              group_arms=group_arms):
+                    try:
+                        _finish_one(p, fit, lo, tab_ofnames[i],
+                                    mod_ofnames[i], fig_prefixes[i],
+                                    config, group_arms, doplot=doplot,
+                                    cmdline=cmdline,
+                                    templates=templates)
+                        counts[i] = p['nsel']
+                    except Exception:
+                        _log_crash(p['fname'], 'write',
+                                   throw_exceptions)
+                pending.append(write_one)
                 lo += p['nsel']
         except Exception:
             logging.exception('group fit of %d files failed; retrying '
@@ -1063,6 +1088,15 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
                     counts[i] = p['nsel']
                 except Exception:
                     _log_crash(p['fname'], 'per-file retry', False)
+
+    def finish():
+        for w in pending:
+            w()
+        return counts
+
+    if defer_finish:
+        return counts, finish
+    finish()
     return counts
 
 
@@ -1310,6 +1344,35 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
         flist = None
     slot = {}
 
+    # deferred output writes: a single writer thread runs the previous
+    # file's (or group's) finish closure — device-result fetch, row
+    # assembly, RVTAB/RVMOD writes, plots — while the main thread fits
+    # the next one on the device (RVST_ASYNC_WRITE=0 restores strictly
+    # serial writes).  One outstanding write at most, drained in
+    # submission order, so status-file lines keep the input order and
+    # host memory holds at most one extra file's results.
+    throw = bool(proc_kwargs.get('throw_exceptions', False))
+    async_write = os.environ.get('RVST_ASYNC_WRITE', '1') != '0'
+    wslot = []
+
+    def drain_writer():
+        while wslot:
+            fut, record = wslot.pop(0)
+            try:
+                res = fut.result()
+            except Exception:
+                if throw:
+                    raise
+                res = None
+            record(res)
+
+    def submit_write(fn, record):
+        from concurrent.futures import ThreadPoolExecutor
+        if not hasattr(submit_write, 'pool'):
+            submit_write.pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix='rvst-writer')
+        wslot.append((submit_write.pool.submit(fn), record))
+
     coalesce = max(1, int(coalesce or 1))
     if coalesce > 1 and flist is None:
         logging.info('--coalesce needs a statically-known file list; '
@@ -1397,18 +1460,29 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                 else:
                     figs.append(None)
             t0 = time.time()
-            counts = proc_desi_group(
+            out = proc_desi_group(
                 fnames, [g[2] for g in grp], [g[3] for g in grp], figs,
                 config, options or {}, templates=templates,
                 prehdus_list=prehdus_list, zbest_paths=zpaths,
-                doplot=doplot, throw_exceptions=throw, **kw)
-            dt = (time.time() - t0) / len(grp)
-            for f, nobj in zip(fnames, counts):
-                if status_fname:
-                    status = PROC_STATUS_SUCCESS if nobj is not None \
-                        else PROC_STATUS_FAILURE
-                    update_process_status_file(status_fname, f, status,
-                                               nobj or 0, dt)
+                doplot=doplot, throw_exceptions=throw,
+                defer_finish=async_write, **kw)
+
+            def record(counts, fnames=fnames, t0=t0, ngrp=len(grp)):
+                dt = (time.time() - t0) / ngrp
+                for f, nobj in zip(fnames, counts or [None] * ngrp):
+                    if status_fname:
+                        status = PROC_STATUS_SUCCESS \
+                            if nobj is not None else PROC_STATUS_FAILURE
+                        update_process_status_file(
+                            status_fname, f, status, nobj or 0, dt)
+
+            if async_write:
+                counts0, finish = out
+                drain_writer()
+                submit_write(finish, record)
+            else:
+                record(out)
+        drain_writer()
         if hasattr(files, 'shutdown'):
             files.shutdown()
         return
@@ -1481,15 +1555,38 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
         nxt = next_unskipped(i + 1)
         if nxt is not None:
             start_prefetch(nxt)
-        nobj = proc_desi_wrapper(f, tab_ofname, mod_ofname, fig_prefix,
-                                 config, options or {},
-                                 templates=templates, prehdus=prehdus,
-                                 **kw)
-        if status_fname:
-            status = PROC_STATUS_SUCCESS if nobj is not None else \
-                PROC_STATUS_FAILURE
-            update_process_status_file(status_fname, f, status,
-                                       nobj or 0, time.time() - t0)
+        out = proc_desi_wrapper(f, tab_ofname, mod_ofname, fig_prefix,
+                                config, options or {},
+                                templates=templates, prehdus=prehdus,
+                                defer_finish=async_write, **kw)
+
+        def record(nobj, f=f, t0=t0):
+            if status_fname:
+                status = PROC_STATUS_SUCCESS if nobj is not None else \
+                    PROC_STATUS_FAILURE
+                update_process_status_file(status_fname, f, status,
+                                           nobj or 0, time.time() - t0)
+
+        if not async_write:
+            record(out)
+            continue
+        drain_writer()
+        if out is None:                       # prepare/fit crashed
+            record(None)
+        else:
+            nsel, finish = out
+            if finish is None:                # empty file, written
+                record(nsel)
+            else:
+                def run_finish(finish=finish, nsel=nsel, f=f):
+                    try:
+                        finish()
+                        return nsel
+                    except Exception:
+                        _log_crash(f, 'write', throw)
+                        return None
+                submit_write(run_finish, record)
+    drain_writer()
     if hasattr(files, 'shutdown'):
         files.shutdown()
 

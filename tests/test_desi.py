@@ -699,3 +699,38 @@ def test_desi_coalesce_incompatible_files(coadd_file, desi_library,
         rv = tab['RVTAB'].data
         assert len(rv['VRAD']) == NFIB - 1, base
         assert np.isfinite(rv['VRAD']).all(), base
+
+
+def test_desi_async_write_crash_isolation(coadd_file, desi_library,
+                                          tmp_path, monkeypatch):
+    """Output writes run on proc_many's writer thread (one file's
+    RVTAB/RVMOD write overlaps the next file's fit); a write failure
+    must still be crash-isolated — FAILURE in the status file, crash
+    log written, and the other file unaffected."""
+    import shutil
+    from rvspecfit_tpu.survey import desi as desi_mod
+    fname, _ = coadd_file
+    f2 = str(tmp_path / 'coadd-wfail.fits')
+    shutil.copy(fname, f2)
+    real_write = desi_mod._write_outputs
+
+    def failing_write(tab_ofname, *args, **kwargs):
+        if 'wfail' in tab_ofname:
+            raise RuntimeError('injected write failure')
+        return real_write(tab_ofname, *args, **kwargs)
+
+    monkeypatch.setattr(desi_mod, '_write_outputs', failing_write)
+    monkeypatch.chdir(tmp_path)      # crash logs land here
+    outdir = str(tmp_path / 'out_wfail')
+    status = str(tmp_path / 'status_wfail.txt')
+    desi.main([fname, f2, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--targetid', '39620000001',
+               '--process_status_file', status])
+    with open(status) as fp:
+        stat = {ln.split()[0]: ln.split()[1]
+                for ln in fp.read().strip().splitlines()}
+    assert stat[fname] == 'SUCCESS'
+    assert stat[f2] == 'FAILURE'
+    assert any(p.name.startswith('crash_') for p in tmp_path.iterdir())
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
+    assert len(tab['RVTAB'].data['VRAD']) == 1
