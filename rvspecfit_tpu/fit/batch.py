@@ -697,14 +697,27 @@ class BatchedFitter:
         phases = [(n, f) for n, f in phases if n not in skip
                   and n.split('_')[0] not in skip]
         times = {}
+        failed = []
 
-        def runner(name, fn):
+        def runner(name, fn, attempts=3):
+            # transient remote-compile/tunnel errors (dropped response
+            # bodies etc.) must not silently push the compile into the
+            # first real fit: bounded retry with backoff, and phases
+            # that still fail are surfaced to the caller (bench puts
+            # them in the artifact JSON)
             t0 = _time.time()
-            try:
-                fn()
-            except Exception:
-                logging.exception('pipeline warm-up phase %s failed',
-                                  name)
+            for attempt in range(attempts):
+                try:
+                    fn()
+                    break
+                except Exception:
+                    logging.exception(
+                        'pipeline warm-up phase %s failed '
+                        '(attempt %d/%d)', name, attempt + 1, attempts)
+                    if attempt + 1 == attempts:
+                        failed.append(name)
+                    else:
+                        _time.sleep(2.0 * (attempt + 1))
             times[name] = _time.time() - t0
 
         threads = [threading.Thread(target=runner, args=p, daemon=True)
@@ -717,6 +730,12 @@ class BatchedFitter:
         times['wall'] = _time.time() - t0
         logging.info('threaded pipeline warm-up: %s',
                      ' '.join(f'{k}={v:.1f}s' for k, v in times.items()))
+        if failed:
+            times['failed'] = list(failed)
+            logging.error(
+                'pipeline warm-up FAILED for phase(s) %s after retries; '
+                'their compiles will happen during the first fit',
+                ','.join(failed))
         self._warmed = True
         return times
 
@@ -1308,5 +1327,11 @@ class BatchedFitter:
         bad = np.zeros(b, bool)
         for i in range(b):
             errs[i], covars[i], bad[i] = vf._uncertainties_from_hessian(
-                hessians[i])
+                hessians[i], quiet=True)
+        nbad = int(bad.sum())
+        if nbad:
+            # one summary line per batch; per-fiber detail is at DEBUG
+            logging.warning(
+                '%d/%d fibers flagged BAD_HESSIAN (robust inversion '
+                'fallback used)', nbad, b)
         return errs, covars, bad

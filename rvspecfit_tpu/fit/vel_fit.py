@@ -260,9 +260,14 @@ def _scan_velocities_padded(fused, vels, param, vsini, pad_to=None):
                                best_chi=float(chis[i1]))
 
 
-def _uncertainties_from_hessian(hessian):
+def _uncertainties_from_hessian(hessian, quiet=False):
     """Robust parameter errors + covariance from a (possibly bad)
-    Hessian (reference: py/rvspecfit/vel_fit.py:463-502)."""
+    Hessian (reference: py/rvspecfit/vel_fit.py:463-502).
+
+    ``quiet`` demotes the per-object warning to DEBUG — the batch
+    driver counts failures across the fiber batch and logs ONE
+    summary line instead (reference warning policy:
+    desi_fit.py:381-430)."""
     diag_h = np.diag(hessian)
     inv_diag = 1.0 / (diag_h + (diag_h == 0))
     inv_diag[diag_h == 0] = np.inf
@@ -271,7 +276,8 @@ def _uncertainties_from_hessian(hessian):
         hess_inv = scipy.linalg.inv(hessian)
     except (np.linalg.LinAlgError, ValueError):
         bad_hessian = True
-        logging.warning('Hessian inversion failed')
+        logging.log(logging.DEBUG if quiet else logging.WARNING,
+                    'Hessian inversion failed')
         hess_inv = np.diag(inv_diag)
     diag_err0 = np.array(np.diag(hess_inv), dtype=np.float64)
     diag_err1 = inv_diag

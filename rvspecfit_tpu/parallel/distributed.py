@@ -82,6 +82,20 @@ def barrier(name='rvspecfit_tpu_barrier', timeout_ms=None):
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=int(timeout_ms))
         return
+    # sync_global_devices reduces over jax.devices(): when every rank
+    # is pinned to its own local backend it sees only its own devices
+    # and the "barrier" passes trivially — which lets the fastest rank
+    # trip jax.distributed.shutdown()'s internal deadline and kill the
+    # world.  Fail loudly instead of pretending to synchronize.
+    if jax.device_count() == jax.local_device_count():
+        raise RuntimeError(
+            'multi-host barrier unavailable: the private jax '
+            'coordination API (jax._src.distributed.global_state) has '
+            'changed in jax %s and the sync_global_devices fallback '
+            'cannot synchronize process-pinned local backends. '
+            'Pin a jax version with the coordination client, or run '
+            'ranks independently (static --rank/--world sharding with '
+            'no end-of-run barrier).' % jax.__version__)
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(name)
 
@@ -115,6 +129,13 @@ class CoordinatedFileQueue:
     can fall back to static sharding.
     """
 
+    _GUIDANCE = ('the private jax coordination API '
+                 '(jax._src.distributed.global_state) has likely '
+                 'changed in this jax version; re-run without '
+                 '--dynamic_queue (static --rank/--world sharding) or '
+                 'use the lock-file --queue_file mode on a shared '
+                 'filesystem')
+
     def __init__(self, file_list, name='rvst_cq'):
         import jax
 
@@ -123,12 +144,30 @@ class CoordinatedFileQueue:
                                'multi-process jax.distributed world')
         client = _kv_client()
         if client is None:
-            raise RuntimeError('coordination-service client '
-                               'unavailable in this jax version')
+            raise RuntimeError(
+                'coordination-service client unavailable in jax %s: %s'
+                % (jax.__version__, self._GUIDANCE))
         self._client = client
         self._list = list(file_list)
         self._rank = jax.process_index()
         self._name = name
+        # capability probe: write + read back a rank-unique key NOW so
+        # an incompatible KV binding fails here with guidance instead
+        # of quietly starving this rank of all work at claim time
+        probe = f'{name}/probe_{self._rank}'
+        try:
+            client.key_value_set(probe, 'ok')
+            got = client.blocking_key_value_get(probe, 10000)
+        except Exception as exc:
+            raise RuntimeError(
+                'coordination-service key-value store failed its '
+                'capability probe under jax %s: %s'
+                % (jax.__version__, self._GUIDANCE)) from exc
+        if got != 'ok':
+            raise RuntimeError(
+                'coordination-service probe read back %r (expected '
+                "'ok') under jax %s: %s"
+                % (got, jax.__version__, self._GUIDANCE))
 
     def _try_claim(self, i):
         key = f'{self._name}/{i}'
@@ -143,9 +182,20 @@ class CoordinatedFileQueue:
                 self._client.key_value_set(key, val)
                 return True
             except Exception:
-                return False
+                pass
         except Exception:
-            return False
+            pass
+        # the set failed: distinguish "another rank claimed it first"
+        # (normal) from a broken API (which would otherwise silently
+        # return False for EVERY item and starve this rank)
+        try:
+            owner = self._client.blocking_key_value_get(key, 10000)
+        except Exception as exc:
+            raise RuntimeError(
+                'claim of %r failed and the key cannot be read back — '
+                '%s' % (key, self._GUIDANCE)) from exc
+        # owner == val: our set actually landed despite the exception
+        return owner == val
 
     def __iter__(self):
         for i, f in enumerate(self._list):

@@ -284,14 +284,71 @@ TARGET_COLUMN_TABLES = (
 )
 
 
-def target_column(fibermap):
+def target_column(fibermap, extra_tables=None):
     """(column_name, bit_table) for the target column this FIBERMAP
     carries, or (None, None) when it has none (reference equivalent:
-    desitarget.targets.main_cmx_or_sv column resolution)."""
+    desitarget.targets.main_cmx_or_sv column resolution).
+
+    ``extra_tables`` ({column: {NAME: bit}}, e.g. from
+    load_targetmask_yaml) extends/overrides the embedded table of the
+    active column — how SV1 experimental sub-bits and the CMX
+    SV0_*/MINI_SV_* layouts get their names without desitarget."""
     for col, table in TARGET_COLUMN_TABLES:
         if col in fibermap:
+            if extra_tables and col in extra_tables:
+                table = {**table, **extra_tables[col]}
             return col, table
     return None, None
+
+
+# desitarget yaml section name -> fibermap target column (the "DESI"
+# part of each survey phase, the part the reference's filter_fibermap
+# matches names against: desi_fit.py:495-521)
+_YAML_MASK_COLUMNS = {
+    'cmx_mask': 'CMX_TARGET',
+    'sv1_desi_mask': 'SV1_DESI_TARGET',
+    'sv2_desi_mask': 'SV2_DESI_TARGET',
+    'sv3_desi_mask': 'SV3_DESI_TARGET',
+    'desi_mask': 'DESI_TARGET',
+}
+
+
+def load_targetmask_yaml(paths):
+    """Load desitarget-format targetmask yaml file(s) — e.g. the
+    public ``sv1_targetmask.yaml`` / ``cmx_targetmask.yaml`` from the
+    desitarget repository — and return {column: {NAME: bit}} tables
+    for :func:`target_column`.
+
+    The desitarget schema is ``{<mask_name>: [[NAME, bit, comment,
+    extra], ...]}``; only the ``*_desi_mask``/``cmx_mask``/``desi_mask``
+    sections map to the fibermap target columns this driver selects on
+    (the BGS/MWS/SCND parts are separate columns the reference ignores
+    too, desi_fit.py:503-508).
+    """
+    import yaml
+    if isinstance(paths, str):
+        paths = [paths]
+    out = {}
+    for path in paths:
+        with open(path) as fp:
+            data = yaml.safe_load(fp)
+        found = False
+        for mask_name, rows in (data or {}).items():
+            col = _YAML_MASK_COLUMNS.get(mask_name)
+            if col is None or not isinstance(rows, list):
+                continue
+            table = out.setdefault(col, {})
+            for row in rows:
+                # desitarget rows are [NAME, bitnum, comment, {...}]
+                if isinstance(row, (list, tuple)) and len(row) >= 2:
+                    table[str(row[0])] = int(row[1])
+            found = found or bool(table)
+        if not found:
+            raise ValueError(
+                f'{path}: no recognized targetmask sections (expected '
+                f'one of {sorted(_YAML_MASK_COLUMNS)} in the desitarget '
+                'yaml schema)')
+    return out
 
 
 def objtypes_to_mask(objtypes, bit_table=None, column='DESI_TARGET'):
@@ -315,7 +372,10 @@ def objtypes_to_mask(objtypes, bit_table=None, column='DESI_TARGET'):
     if not mask:
         raise ValueError(
             f'no {column} names match objtypes {objtypes}; '
-            f'known names: {sorted(bit_table)}')
+            f'known names: {sorted(bit_table)}. For survey-phase bits '
+            'not embedded here (SV1 experimental sub-bits, CMX '
+            'SV0_*/MINI_SV_*), pass the public desitarget yaml via '
+            '--targetmask_yaml, or give an explicit --objtype_mask.')
     logging.info('objtypes %s -> %s names %s (mask 0x%x)',
                  objtypes, column, matched, mask)
     return mask
@@ -324,16 +384,16 @@ def objtypes_to_mask(objtypes, bit_table=None, column='DESI_TARGET'):
 def select_fibers_to_fit(fibermap, sns, minsn=None, fit_targetid=None,
                          expid_range=None, zbest_path=None,
                          zbest_select=False, objtype_mask=None,
-                         objtypes=None):
+                         objtypes=None, target_tables=None):
     """Fiber selection (reference: desi_fit.py:546-679; desitarget
-    decoding replaced by the embedded main-survey name table or an
-    explicit DESI_TARGET bitmask)."""
+    decoding replaced by the embedded name tables — optionally
+    extended by --targetmask_yaml — or an explicit bitmask)."""
     n = len(fibermap['TARGETID'])
     sel = np.ones(n, dtype=bool)
     sel &= fiberstatus_select(fibermap)
     if 'OBJTYPE' in fibermap:
         sel &= np.char.strip(fibermap['OBJTYPE'].astype(str)) == 'TGT'
-    tcol, ttable = target_column(fibermap)
+    tcol, ttable = target_column(fibermap, target_tables)
     if objtypes is not None:
         if tcol is None:
             raise RuntimeError(
@@ -613,7 +673,7 @@ def _prepare_one(fname, config, setups=('b', 'r', 'z'), minsn=-1e9,
                  fit_targetid=None, expid_range=None,
                  use_resolution_matrix=False, zbest_path=None,
                  zbest_select=False, objtype_mask=None, objtypes=None,
-                 fitarm=None, prehdus=None):
+                 target_tables=None, fitarm=None, prehdus=None):
     """Host-side stage of one file: read, validate, select, stack arms.
 
     Returns a dict with everything the device stage (_run_group_fit)
@@ -643,7 +703,7 @@ def _prepare_one(fname, config, setups=('b', 'r', 'z'), minsn=-1e9,
         fibermap, sn_max, minsn=minsn, fit_targetid=fit_targetid,
         expid_range=expid_range, zbest_path=zbest_path,
         zbest_select=zbest_select, objtype_mask=objtype_mask,
-        objtypes=objtypes)
+        objtypes=objtypes, target_tables=target_tables)
     nsel = int(subset.sum())
     logging.info('%s: selected %d/%d fibers', fname, nsel, len(subset))
     prep = dict(fname=fname, setups=setups, waves=waves,
@@ -868,8 +928,8 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
               setups=('b', 'r', 'z'), minsn=-1e9, fit_targetid=None,
               expid_range=None, ccf_init=True, use_resolution_matrix=False,
               zbest_path=None, zbest_select=False, objtype_mask=None,
-              objtypes=None, npoly=10, doplot=False, templates=None,
-              fitarm=None, cmdline=None, prehdus=None,
+              objtypes=None, target_tables=None, npoly=10, doplot=False,
+              templates=None, fitarm=None, cmdline=None, prehdus=None,
               defer_finish=False):
     """Fit every selected fiber of one DESI file; write RVTAB/RVMOD.
 
@@ -893,16 +953,24 @@ def proc_desi(fname, tab_ofname, mod_ofname, fig_prefix, config, options,
                         use_resolution_matrix=use_resolution_matrix,
                         zbest_path=zbest_path, zbest_select=zbest_select,
                         objtype_mask=objtype_mask, objtypes=objtypes,
+                        target_tables=target_tables,
                         fitarm=fitarm, prehdus=prehdus)
     if prep['nsel'] == 0:
-        _write_empty(tab_ofname, mod_ofname, prep['setups'],
-                     prep['waves'], prep['fibermap'],
-                     scores=prep['scores'],
-                     exp_fibermap=prep['exp_fibermap'], config=config,
-                     cmdline=cmdline, templates=templates,
-                     spectrum_header=prep['spectrum_header'],
-                     zbest_path=prep['zbest_path'])
-        return (0, None) if defer_finish else 0
+        def finish_empty():
+            _write_empty(tab_ofname, mod_ofname, prep['setups'],
+                         prep['waves'], prep['fibermap'],
+                         scores=prep['scores'],
+                         exp_fibermap=prep['exp_fibermap'], config=config,
+                         cmdline=cmdline, templates=templates,
+                         spectrum_header=prep['spectrum_header'],
+                         zbest_path=prep['zbest_path'])
+        # deferred like every other write so it runs on proc_many's
+        # writer thread, never concurrently with a previous file's
+        # FITS write on this (main) thread
+        if defer_finish:
+            return 0, finish_empty
+        finish_empty()
+        return 0
     if templates is None:
         templates = library.load_template_models(
             config, {f'desi_{s}' for s in prep['setups']})
@@ -973,7 +1041,8 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
                     fit_targetid=None, expid_range=None, ccf_init=True,
                     use_resolution_matrix=False, zbest_paths=None,
                     zbest_select=False, objtype_mask=None, objtypes=None,
-                    npoly=10, doplot=False, templates=None, fitarm=None,
+                    target_tables=None, npoly=10, doplot=False,
+                    templates=None, fitarm=None,
                     cmdline=None, prehdus_list=None,
                     throw_exceptions=False, defer_finish=False):
     """Fit several DESI files as ONE device batch (``--coalesce``).
@@ -1017,28 +1086,45 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
                 use_resolution_matrix=use_resolution_matrix,
                 zbest_path=zbest_paths[i], zbest_select=zbest_select,
                 objtype_mask=objtype_mask, objtypes=objtypes,
+                target_tables=target_tables,
                 fitarm=fitarm, prehdus=prehdus_list[i])
         except Exception:
             _log_crash(f, 'prepare', throw_exceptions)
+    # ALL output writes (including empty files and per-file retries)
+    # are deferred into `pending` and run by finish() — with
+    # defer_finish that is proc_many's single writer thread, so no
+    # FITS/pyplot call ever runs on the main thread concurrently with
+    # a previous group's write.
+    pending = []          # deferred per-member write closures
     for i, p in enumerate(preps):
         if p is not None and p['nsel'] == 0:
-            try:
-                _write_empty(tab_ofnames[i], mod_ofnames[i], p['setups'],
-                             p['waves'], p['fibermap'],
-                             scores=p['scores'],
-                             exp_fibermap=p['exp_fibermap'],
-                             config=config, cmdline=cmdline,
-                             templates=templates,
-                             spectrum_header=p['spectrum_header'],
-                             zbest_path=p['zbest_path'])
-                counts[i] = 0
-            except Exception:
-                _log_crash(p['fname'], 'write_empty', throw_exceptions)
+            def write_empty_one(i=i, p=p):
+                try:
+                    _write_empty(tab_ofnames[i], mod_ofnames[i],
+                                 p['setups'], p['waves'], p['fibermap'],
+                                 scores=p['scores'],
+                                 exp_fibermap=p['exp_fibermap'],
+                                 config=config, cmdline=cmdline,
+                                 templates=templates,
+                                 spectrum_header=p['spectrum_header'],
+                                 zbest_path=p['zbest_path'])
+                    counts[i] = 0
+                except Exception:
+                    _log_crash(p['fname'], 'write_empty',
+                               throw_exceptions)
+            pending.append(write_empty_one)
+
+    def finish():
+        for w in pending:
+            w()
+        return counts
 
     live = [i for i, p in enumerate(preps)
             if p is not None and p['nsel'] > 0]
     if not live:
-        return counts
+        if defer_finish:
+            return counts, finish
+        return finish()
     if templates is None:
         templates = library.load_template_models(
             config, {f'desi_{s}' for s in preps[live[0]]['setups']})
@@ -1046,7 +1132,6 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
     groups = {}
     for i in live:
         groups.setdefault(_arm_group_key(preps[i]), []).append(i)
-    pending = []          # deferred per-member write closures
     for members in groups.values():
         group_arms = _concat_arms([preps[i]['arms'] for i in members]) \
             if len(members) > 1 else preps[members[0]]['arms']
@@ -1081,18 +1166,20 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
                 try:
                     fit = _run_group_fit(p['arms'], templates, config,
                                          options, ccf_init=ccf_init)
-                    _finish_one(p, fit, 0, tab_ofnames[i],
-                                mod_ofnames[i], fig_prefixes[i], config,
-                                p['arms'], doplot=doplot,
-                                cmdline=cmdline, templates=templates)
-                    counts[i] = p['nsel']
                 except Exception:
                     _log_crash(p['fname'], 'per-file retry', False)
+                    continue
 
-    def finish():
-        for w in pending:
-            w()
-        return counts
+                def write_retry(i=i, p=p, fit=fit):
+                    try:
+                        _finish_one(p, fit, 0, tab_ofnames[i],
+                                    mod_ofnames[i], fig_prefixes[i],
+                                    config, p['arms'], doplot=doplot,
+                                    cmdline=cmdline, templates=templates)
+                        counts[i] = p['nsel']
+                    except Exception:
+                        _log_crash(p['fname'], 'write', False)
+                pending.append(write_retry)
 
     if defer_finish:
         return counts, finish
@@ -1292,10 +1379,26 @@ def proc_desi_wrapper(*args, **kwargs):
         return None
 
 
-def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
-              output_mod_prefix=MODEL_PREFIX, config=None, options=None,
-              skipexisting=False, status_fname=None, figure_dir=None,
-              figure_prefix='fig', coalesce=1, **proc_kwargs):
+def proc_many(files, *args, **kwargs):
+    """Process a sequence of files (public entry; see _proc_many for
+    the full parameter list).  Owns the per-call writer thread pool so
+    it is always shut down, and guarantees ``files.shutdown()`` runs
+    even when an exception propagates (``--throw_exceptions``)."""
+    from concurrent.futures import ThreadPoolExecutor
+    wpool = ThreadPoolExecutor(max_workers=1,
+                               thread_name_prefix='rvst-writer')
+    try:
+        return _proc_many(files, *args, _wpool=wpool, **kwargs)
+    finally:
+        wpool.shutdown(wait=True)
+        if hasattr(files, 'shutdown'):
+            files.shutdown()
+
+
+def _proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
+               output_mod_prefix=MODEL_PREFIX, config=None, options=None,
+               skipexisting=False, status_fname=None, figure_dir=None,
+               figure_prefix='fig', coalesce=1, **proc_kwargs):
     """Process a sequence of files (reference: desi_fit.py:1392-1551).
 
     ``figure_dir``/``figure_prefix``: where diagnostic plots go when
@@ -1351,6 +1454,7 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
     # serial writes).  One outstanding write at most, drained in
     # submission order, so status-file lines keep the input order and
     # host memory holds at most one extra file's results.
+    wpool = proc_kwargs.pop('_wpool')
     throw = bool(proc_kwargs.get('throw_exceptions', False))
     async_write = os.environ.get('RVST_ASYNC_WRITE', '1') != '0'
     wslot = []
@@ -1359,19 +1463,21 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
         while wslot:
             fut, record = wslot.pop(0)
             try:
-                res = fut.result()
+                res, dt = fut.result()
             except Exception:
                 if throw:
                     raise
-                res = None
-            record(res)
+                res, dt = None, None
+            record(res, dt)
 
-    def submit_write(fn, record):
-        from concurrent.futures import ThreadPoolExecutor
-        if not hasattr(submit_write, 'pool'):
-            submit_write.pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix='rvst-writer')
-        wslot.append((submit_write.pool.submit(fn), record))
+    def submit_write(fn, record, t0):
+        # per-file wall time is captured when the write COMPLETES on
+        # the writer thread (not at drain time, by which the next
+        # file's fit has already overlapped the deferred write)
+        def timed():
+            res = fn()
+            return res, time.time() - t0
+        wslot.append((wpool.submit(timed), record))
 
     coalesce = max(1, int(coalesce or 1))
     if coalesce > 1 and flist is None:
@@ -1467,8 +1573,9 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                 doplot=doplot, throw_exceptions=throw,
                 defer_finish=async_write, **kw)
 
-            def record(counts, fnames=fnames, t0=t0, ngrp=len(grp)):
-                dt = (time.time() - t0) / ngrp
+            def record(counts, dt=None, fnames=fnames, t0=t0,
+                       ngrp=len(grp)):
+                dt = ((time.time() - t0) if dt is None else dt) / ngrp
                 for f, nobj in zip(fnames, counts or [None] * ngrp):
                     if status_fname:
                         status = PROC_STATUS_SUCCESS \
@@ -1479,12 +1586,10 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
             if async_write:
                 counts0, finish = out
                 drain_writer()
-                submit_write(finish, record)
+                submit_write(finish, record, t0)
             else:
                 record(out)
         drain_writer()
-        if hasattr(files, 'shutdown'):
-            files.shutdown()
         return
 
     def next_unskipped(i):
@@ -1560,12 +1665,13 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                                 templates=templates, prehdus=prehdus,
                                 defer_finish=async_write, **kw)
 
-        def record(nobj, f=f, t0=t0):
+        def record(nobj, dt=None, f=f, t0=t0):
             if status_fname:
                 status = PROC_STATUS_SUCCESS if nobj is not None else \
                     PROC_STATUS_FAILURE
-                update_process_status_file(status_fname, f, status,
-                                           nobj or 0, time.time() - t0)
+                update_process_status_file(
+                    status_fname, f, status, nobj or 0,
+                    (time.time() - t0) if dt is None else dt)
 
         if not async_write:
             record(out)
@@ -1585,10 +1691,8 @@ def proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                     except Exception:
                         _log_crash(f, 'write', throw)
                         return None
-                submit_write(run_finish, record)
+                submit_write(run_finish, record, t0)
     drain_writer()
-    if hasattr(files, 'shutdown'):
-        files.shutdown()
 
 
 def main(args=None):
@@ -1638,6 +1742,13 @@ def main(args=None):
     parser.add_argument('--param_init', type=str, default='CCF',
                         help='initial parameter/RV source: CCF or '
                         'bruteforce')
+    parser.add_argument('--targetmask_yaml', type=str, default=None,
+                        action='append',
+                        help='desitarget-format targetmask yaml(s) '
+                        '(e.g. the public sv1_targetmask.yaml / '
+                        'cmx_targetmask.yaml) whose *_desi_mask/'
+                        'cmx_mask bit names extend the embedded '
+                        'tables for --objtypes selection; repeatable')
     parser.add_argument('--objtype_mask', type=int, default=None,
                         help='explicit DESI_TARGET bitmask (for SV/CMX '
                         'bits not in the embedded main-survey table)')
@@ -1786,6 +1897,9 @@ def main(args=None):
                   objtype_mask=args.objtype_mask,
                   objtypes=(args.objtypes.split(',')
                             if args.objtypes else None),
+                  target_tables=(load_targetmask_yaml(
+                      args.targetmask_yaml)
+                      if args.targetmask_yaml else None),
                   ccf_init=args.param_init == 'CCF',
                   use_resolution_matrix=args.resolution_matrix,
                   fitarm=(tuple(args.fitarm.split(','))

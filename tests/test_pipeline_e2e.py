@@ -108,3 +108,75 @@ def test_irregular_triangulation_library_raises(pipeline_library,
     with pytest.raises(RuntimeError, match='rvst_regularize_grid'):
         library.load_template_model(SETUP_NAME, _config(lib2),
                                     cache=False)
+
+
+def test_irregular_triangulation_auto_regularize(pipeline_library,
+                                                 tmp_path, monkeypatch):
+    """RVST_AUTO_REGULARIZE=1 loads a genuinely irregular
+    triangulation library by rasterizing the reference Delaunay
+    interpolant onto a rectilinear grid (VERDICT r4 next #6): the
+    device model must equal the CPU TriInterp exactly at the raster
+    nodes inside the hull (float32 storage tolerance), and a full
+    process() fit must run through it."""
+    import shutil
+    import jax.numpy as jnp
+    from rvspecfit_tpu import serializer
+    from rvspecfit_tpu.interp.triangulation import TriInterp
+
+    lib2 = str(tmp_path / 'irr_auto_lib')
+    shutil.copytree(pipeline_library, lib2)
+    fn = os.path.join(lib2, f'interp_{SETUP_NAME}.h5')
+    fd = serializer.load_dict_from_hdf5(fn)
+    vec = np.asarray(fd['vec'], np.float64)
+    rng = np.random.RandomState(1)
+    # jitter each point by up to 20% of a grid step: irregular for the
+    # rectilinear-detection heuristic, but still a sane point set
+    step = np.array([np.ptp(v) for v in vec]) / \
+        (np.array([len(np.unique(np.round(v, 5))) for v in vec]) - 1)
+    fd_irr = dict(fd)
+    fd_irr['interpolation_type'] = 'triangulation'
+    fd_irr['vec'] = vec + rng.uniform(-0.2, 0.2, vec.shape) \
+        * step[:, None]
+    fd_irr['extraflags'] = np.zeros(vec.shape[1])
+    fd_irr.pop('idgrid', None)
+    fd_irr.pop('uvecs', None)
+    os.remove(fn)
+    serializer.save_dict_to_hdf5(fn, fd_irr)
+
+    monkeypatch.setenv('RVST_AUTO_REGULARIZE', '1')
+    config = _config(lib2)
+    tm = library.load_template_model(SETUP_NAME, config, cache=False)
+    assert tm.kind == 'grid'
+
+    dats = np.load(os.path.join(lib2, f'interpdat_{SETUP_NAME}.npy'))
+    tri = TriInterp.from_points(fd_irr['vec'].T, dats, exp=True)
+    uv = [np.asarray(u, np.float64) for u in tm.state.uvecs]
+    mids_mapped = np.array(
+        [[u[len(u) // 2] for u in uv],
+         [u[len(u) // 2 + 1] for u in uv]])
+    mids_ext = mids_mapped.copy()
+    for i in tm.log_ids:
+        mids_ext[:, i] = 10.0 ** mids_mapped[:, i]
+    spec, outside = tm.eval_batch(jnp.asarray(mids_ext))
+    checked = 0
+    for k in range(len(mids_mapped)):
+        ref = tri(mids_mapped[k])
+        if np.isscalar(ref):        # outside the hull
+            continue
+        np.testing.assert_allclose(np.asarray(spec[k]), ref,
+                                   rtol=2e-4)
+        checked += 1
+    assert checked > 0
+
+    # the auto-regularized library drives a full fit
+    v0 = 80.0
+    wres = 5000.0 / 1000.0 / 2.35
+    lam, sp, esp = simulation.observed_spectrum(
+        v0, 5500.0, 2.75, -0.5, 0.5, npix=800, lam0=4650.0,
+        lam1=5350.0, wresol=wres, snr=300.0, seed=6)
+    sd = SpecData(SETUP_NAME, lam, sp, esp)
+    res = vel_fit.process(
+        [sd], dict(teff=5000.0, logg=3.0, feh=-1.0, alpha=0.5),
+        config=config, options={'npoly': 10},
+        templates={SETUP_NAME: tm})
+    assert abs(res['vel'] - v0) < max(10, 5 * res['vel_err'])
