@@ -650,6 +650,9 @@ class BatchedFitter:
         if widths is None:
             widths = sorted({mb} | {w for w in (mb // 2, mb // 4)
                                     if w >= 32}, reverse=True)
+        # keep the warmed chunk program in sync with run_neldermead's
+        # RVST_NM_CHUNK override, or the warm-up compiles the wrong one
+        nm_chunk = int(os.environ.get('RVST_NM_CHUNK', '0')) or nm_chunk
         init_p, chunk_p = self._nm_programs(mapper, priors, fatol,
                                             xatol, nm_chunk)
         scales = mapper.scales().astype(np.float64)
@@ -783,7 +786,12 @@ class BatchedFitter:
             # dchi2 +0.002 at 2/3 the NM wall time)
             xatol = tuple(scales * float(os.environ.get(
                 'RVST_NM_XATOL_FRAC', '0.08')))
-        chunk = int(nm_chunk or min(64, maxiter))
+        # RVST_NM_CHUNK: on-device iterations per host round — the
+        # knob trading host round-trips (fewer at larger chunks)
+        # against straggler-compaction granularity (repacking happens
+        # only between rounds); sweepable on chip without code changes
+        chunk = int(os.environ.get('RVST_NM_CHUNK', '0')) or \
+            int(nm_chunk or min(64, maxiter))
         mb = self.microbatch or b
         dt = self.dtype
         init_p, chunk_p = self._nm_programs(mapper, priors, fatol,

@@ -267,8 +267,21 @@ def prepare_arm_batch(setup, lam, fluxes, especs, badmask, config,
                 continuum=bool(ccfconf['continuum']))
 
 
-def fit_batch(arm_batches, config, banks=None, microbatch=None):
-    """Fiber-batched CCF over a whole stacked exposure.
+def fit_batch_async(arm_batches, config, banks=None, microbatch=None):
+    """Dispatch the fiber-batched CCF NOW, fetch later.
+
+    Returns a ``collect()`` closure producing :func:`fit_batch`'s
+    result dict.  The exposure's arm FFTs and every correlation tile
+    are enqueued on the device before this function returns, so the
+    caller can overlap this CCF's device work with other host-driven
+    stages — the driver dispatches file N+1's CCF while file N's
+    (dispatch-latency-bound) Nelder-Mead rounds run, reclaiming the
+    device's idle gaps (VERDICT r4 next #1; the host half of the
+    reference's per-node worker-pool overlap, desi_fit.py:1471-1481).
+
+    Failure semantics match fit_batch: a Pallas runtime failure
+    (dispatch- or fetch-time) falls back to the XLA formulation once,
+    re-dispatching the tiles.
 
     The TPU-native replacement for the reference's per-fiber CCF
     process pool (reference: py/rvspecfit/desi_fit.py:1215-1218 +
@@ -323,12 +336,17 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
     best_id = np.zeros(nf, dtype=np.int64)
     best_vel = np.zeros(nf)
     best_chi = np.zeros(nf)
-    # one retry: if the Pallas kernel fails at runtime (Mosaic
-    # lowering on an unexpected backend), the whole tile pass is
-    # re-run with the XLA formulation AND its matching tile budget —
-    # the kernel's whole-exposure tiles would materialize the
-    # (tile, T, F) intermediate the XLA budget exists to prevent
-    for _attempt in range(2):
+
+    def dispatch():
+        """Enqueue every correlation tile; returns (pk, mb, pending).
+
+        Tiles are independent, so their device programs queue
+        back-to-back and only one host round-trip latency is paid for
+        the whole exposure.  Tail tiles RE-START at nf-mb (overlapping
+        fibers recompute identically) instead of padding — the
+        exposure FFTs are device-resident, so slices come from one
+        traced dynamic-slice program, not host padding.
+        """
         pk = False if _PALLAS_STATE.get('failed') \
             else pallas_ccf.use_pallas_ccf()
         mb = microbatch
@@ -345,91 +363,124 @@ def fit_batch(arm_batches, config, banks=None, microbatch=None):
                 budget = 2.8e7  # elements per (tile, T, F) product
                 mb = int(budget / max(ntempl * nfreq, 1))
                 mb = int(np.clip(mb, 32, max(nf, 32)))
-        try:
-            # dispatch every tile first (async), then fetch: tiles
-            # are independent, so their device programs queue
-            # back-to-back and only one host round-trip latency is
-            # paid for the whole exposure
-            _t1 = _time.time()
-            # tile starts: tail tiles RE-START at nf-mb (overlapping
-            # fibers recompute identically) instead of padding — the
-            # exposure FFTs are device-resident, so slices come from
-            # one traced dynamic-slice program, not host padding
-            if nf <= mb:
-                starts = [0]
-            else:
-                starts = list(range(0, nf - mb + 1, mb))
-                if starts[-1] + mb < nf:
-                    starts.append(nf - mb)
-            pending = []
-            for i0 in starts:
-                i1 = min(i0 + mb, nf)
-                contributions = None
-                for p in prep:
-                    if nf < mb:
-                        sfft_c = _pad_fibers(p['sfft_conj'], mb)
-                        ivfft_c = _pad_fibers(p['ivfft_conj'], mb)
-                    elif mb == nf:
-                        sfft_c = p['sfft_conj']
-                        ivfft_c = p['ivfft_conj']
-                    else:
-                        sfft_c = _slice_fibers(p['sfft_conj'], i0, mb)
-                        ivfft_c = _slice_fibers(p['ivfft_conj'], i0,
-                                                mb)
-                    if pk:
-                        # fused product-contraction kernel: the
-                        # (tile, T, F) complex-product intermediate
-                        # never reaches HBM
-                        cur = pallas_ccf.ccf_chisq_pallas(
-                            p['tfft'], p['t2fft'], sfft_c, ivfft_c,
-                            p['ecos'], p['esin'],
-                            continuum=p['continuum'],
-                            interpret=(pk == 'interpret'))
-                    else:
-                        fun = _ccf_batch_cont if p['continuum'] \
-                            else _ccf_batch_nocont
-                        cur = fun(p['tfft'], p['t2fft'], sfft_c,
-                                  ivfft_c, p['ecos'], p['esin'])
-                    contributions = cur if contributions is None else \
-                        contributions + cur
-                pending.append((i0, i1,
-                                _ccf_reduce(contributions, vel_grid_d)))
-            _t2 = _time.time()
-            total_sse = np.asarray(total_sse_d, np.float64)
-            for i0, i1, (tid, bvel, bchi, _) in pending:
-                n = i1 - i0
-                best_id[i0:i1] = np.asarray(tid)[:n]
-                best_vel[i0:i1] = np.asarray(bvel)[:n]
-                best_chi[i0:i1] = np.asarray(bchi)[:n] + total_sse[i0:i1]
-            logging.debug(
-                'ccf fit_batch timings: prep %.2fs dispatch %.2fs '
-                'fetch %.2fs (pallas=%s, mb=%d)', _t_prep, _t2 - _t1,
-                _time.time() - _t2, bool(pk), mb)
-            break
-        except Exception:
-            if not pk or _attempt:
-                raise
-            # safety net: a Pallas failure on an unexpected backend
-            # must not take the whole fit down — retry once with the
-            # XLA formulation for the rest of the process
-            logging.exception('Pallas CCF kernel failed; falling back '
-                              'to the XLA formulation')
-            _PALLAS_STATE['failed'] = True
+        if nf <= mb:
+            starts = [0]
+        else:
+            starts = list(range(0, nf - mb + 1, mb))
+            if starts[-1] + mb < nf:
+                starts.append(nf - mb)
+        pending = []
+        for i0 in starts:
+            i1 = min(i0 + mb, nf)
+            contributions = None
+            for p in prep:
+                if nf < mb:
+                    sfft_c = _pad_fibers(p['sfft_conj'], mb)
+                    ivfft_c = _pad_fibers(p['ivfft_conj'], mb)
+                elif mb == nf:
+                    sfft_c = p['sfft_conj']
+                    ivfft_c = p['ivfft_conj']
+                else:
+                    sfft_c = _slice_fibers(p['sfft_conj'], i0, mb)
+                    ivfft_c = _slice_fibers(p['ivfft_conj'], i0,
+                                            mb)
+                if pk:
+                    # fused product-contraction kernel: the
+                    # (tile, T, F) complex-product intermediate
+                    # never reaches HBM
+                    cur = pallas_ccf.ccf_chisq_pallas(
+                        p['tfft'], p['t2fft'], sfft_c, ivfft_c,
+                        p['ecos'], p['esin'],
+                        continuum=p['continuum'],
+                        interpret=(pk == 'interpret'))
+                else:
+                    fun = _ccf_batch_cont if p['continuum'] \
+                        else _ccf_batch_nocont
+                    cur = fun(p['tfft'], p['t2fft'], sfft_c,
+                              ivfft_c, p['ecos'], p['esin'])
+                contributions = cur if contributions is None else \
+                    contributions + cur
+            pending.append((i0, i1,
+                            _ccf_reduce(contributions, vel_grid_d)))
+        return pk, mb, pending
 
-    params = np.asarray(info0['params'])[best_id]          # (B, ndim)
-    vsinis = np.asarray(info0['vsinis'], np.float64)[best_id]
-    if info0.get('vsini_is_none') is not None:
-        none_mask = np.asarray(info0['vsini_is_none'],
-                               bool)[best_id]
-        vsinis = np.where(none_mask, np.nan, vsinis)
-    if not np.isfinite(best_chi).all():
-        bad = ~np.isfinite(best_chi)
-        logging.error('Cross-correlation failed for %d fibers',
-                      int(bad.sum()))
-    return dict(parnames=[str(p) for p in info0['parnames']],
-                best_params=params, best_vel=best_vel,
-                best_vsini=vsinis, best_id=best_id, best_chi=best_chi,
-                vel_grid=vel_grid)
+    state = {}
+
+    def collect():
+        # one retry: if the Pallas kernel fails at runtime (Mosaic
+        # lowering on an unexpected backend), the whole tile pass is
+        # re-run with the XLA formulation AND its matching tile
+        # budget — the kernel's whole-exposure tiles would
+        # materialize the (tile, T, F) intermediate the XLA budget
+        # exists to prevent
+        for _attempt in range(2):
+            try:
+                if 'pending' not in state:
+                    _t1 = _time.time()
+                    state['pk'], state['mb'], state['pending'] = \
+                        dispatch()
+                    state['t_dispatch'] = _time.time() - _t1
+                _t2 = _time.time()
+                total_sse = np.asarray(total_sse_d, np.float64)
+                for i0, i1, (tid, bvel, bchi, _) in state['pending']:
+                    n = i1 - i0
+                    best_id[i0:i1] = np.asarray(tid)[:n]
+                    best_vel[i0:i1] = np.asarray(bvel)[:n]
+                    best_chi[i0:i1] = np.asarray(bchi)[:n] \
+                        + total_sse[i0:i1]
+                logging.debug(
+                    'ccf fit_batch timings: prep %.2fs dispatch %.2fs '
+                    'fetch %.2fs (pallas=%s, mb=%d)', _t_prep,
+                    state.get('t_dispatch', 0.0), _time.time() - _t2,
+                    bool(state['pk']), state['mb'])
+                break
+            except Exception:
+                if not state.get('pk') or _attempt:
+                    raise
+                # safety net: a Pallas failure on an unexpected
+                # backend must not take the whole fit down — retry
+                # once with the XLA formulation for the rest of the
+                # process
+                logging.exception('Pallas CCF kernel failed; falling '
+                                  'back to the XLA formulation')
+                _PALLAS_STATE['failed'] = True
+                state.pop('pending', None)
+
+        params = np.asarray(info0['params'])[best_id]      # (B, ndim)
+        vsinis = np.asarray(info0['vsinis'], np.float64)[best_id]
+        if info0.get('vsini_is_none') is not None:
+            none_mask = np.asarray(info0['vsini_is_none'],
+                                   bool)[best_id]
+            vsinis = np.where(none_mask, np.nan, vsinis)
+        if not np.isfinite(best_chi).all():
+            bad = ~np.isfinite(best_chi)
+            logging.error('Cross-correlation failed for %d fibers',
+                          int(bad.sum()))
+        return dict(parnames=[str(p) for p in info0['parnames']],
+                    best_params=params, best_vel=best_vel,
+                    best_vsini=vsinis, best_id=best_id,
+                    best_chi=best_chi, vel_grid=vel_grid)
+
+    # eager dispatch (the point of the async form); a Pallas
+    # dispatch-time failure falls back to XLA here, matching fit_batch
+    try:
+        _t1 = _time.time()
+        state['pk'], state['mb'], state['pending'] = dispatch()
+        state['t_dispatch'] = _time.time() - _t1
+    except Exception:
+        if _PALLAS_STATE.get('failed') or not pallas_ccf.use_pallas_ccf():
+            raise
+        logging.exception('Pallas CCF kernel failed at dispatch; '
+                          'falling back to the XLA formulation')
+        _PALLAS_STATE['failed'] = True
+    return collect
+
+
+def fit_batch(arm_batches, config, banks=None, microbatch=None):
+    """Fiber-batched CCF over a whole stacked exposure (synchronous
+    form of :func:`fit_batch_async`; see there for the docs)."""
+    return fit_batch_async(arm_batches, config, banks=banks,
+                           microbatch=microbatch)()
 
 
 def fit(specdata, config):

@@ -723,13 +723,30 @@ def _prepare_one(fname, config, setups=('b', 'r', 'z'), minsn=-1e9,
     return prep
 
 
-def _run_group_fit(arms, templates, config, options, ccf_init=True):
+def _ccf_args(arms):
+    """Arm tuples consumed by the batched CCF fitter."""
+    return [(a.setup, a.lam, a.flux,
+             1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), a.badmask)
+            for a in arms]
+
+
+def _run_group_fit(arms, templates, config, options, ccf_init=True,
+                   ccf_collect=None):
     """Device stage over a (possibly multi-file) stacked fiber batch:
     CCF init -> NM -> gradient polish -> velocity refinement -> AD
     Hessian errors -> best-fit models (the reference's per-fiber chain,
     desi_fit.py:226-420).  Returns per-fiber arrays only — no file
     identity — so a concatenated multi-file batch can be sliced back
     apart by _finish_one.
+
+    ``ccf_collect``: an already-dispatched CCF's collect closure
+    (ccf.fit_batch_async) — prepare_desi_group dispatches the next
+    group's CCF tiles while the current group's (dispatch-latency-
+    bound) NM rounds leave the device idle, so by the time this runs
+    the correlation results are already computed and collect() only
+    fetches (the device half of the reference's per-node worker-pool
+    overlap, desi_fit.py:1471-1481).  A collect() failure degrades to
+    default start parameters exactly like a synchronous CCF failure.
     """
     nf = arms[0].nfibers
     parnames = templates[arms[0].setup].parnames
@@ -742,10 +759,10 @@ def _run_group_fit(arms, templates, config, options, ccf_init=True):
     ccf_cols = {}
     if ccf_init:
         try:
-            cres = ccf_mod.fit_batch(
-                [(a.setup, a.lam, a.flux,
-                  1.0 / np.sqrt(np.maximum(a.ivar, 1e-30)), a.badmask)
-                 for a in arms], config)
+            if ccf_collect is None:
+                ccf_collect = ccf_mod.fit_batch_async(_ccf_args(arms),
+                                                      config)
+            cres = ccf_collect()
             order = [cres['parnames'].index(p) for p in parnames]
             start_params[:] = cres['best_params'][:, order]
             start_vel[:] = cres['best_vel']
@@ -1073,10 +1090,49 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
     it on a writer thread so this group's output I/O overlaps the next
     group's device fit.
     """
+    gprep = prepare_desi_group(
+        fnames, config, setups=setups, minsn=minsn,
+        fit_targetid=fit_targetid, expid_range=expid_range,
+        ccf_init=ccf_init, use_resolution_matrix=use_resolution_matrix,
+        zbest_paths=zbest_paths, zbest_select=zbest_select,
+        objtype_mask=objtype_mask, objtypes=objtypes,
+        target_tables=target_tables, fitarm=fitarm,
+        prehdus_list=prehdus_list, throw_exceptions=throw_exceptions)
+    return fit_desi_group(
+        gprep, tab_ofnames, mod_ofnames, fig_prefixes, config, options,
+        doplot=doplot, templates=templates, cmdline=cmdline,
+        throw_exceptions=throw_exceptions, defer_finish=defer_finish,
+        ccf_init=ccf_init)
+
+
+def prepare_desi_group(fnames, config, setups=('b', 'r', 'z'),
+                       minsn=-1e9, fit_targetid=None, expid_range=None,
+                       ccf_init=True, use_resolution_matrix=False,
+                       zbest_paths=None, zbest_select=False,
+                       objtype_mask=None, objtypes=None,
+                       target_tables=None, fitarm=None,
+                       prehdus_list=None, throw_exceptions=False,
+                       dispatch_ccf=True):
+    """Host + device-DISPATCH stage of a coalesced group: read/select/
+    stack every member file, partition into arm-compatible sub-groups,
+    and ENQUEUE each sub-group's CCF correlation tiles on the device
+    (ccf.fit_batch_async) without fetching.
+
+    proc_many runs this for group N+1 on a background thread while
+    group N's fit occupies the main thread: the CCF's device work
+    executes inside the idle gaps of group N's dispatch-latency-bound
+    NM rounds, so by the time fit_desi_group(N+1) collects it, the
+    correlations are already done (the reference keeps the device busy
+    the same way with its per-node worker pool,
+    desi_fit.py:1471-1481).  Per-file crash isolation matches
+    proc_desi_group: a member that fails to prepare gets a crash log
+    and stays None in ``preps``.
+
+    Returns an opaque dict consumed by fit_desi_group.
+    """
     n = len(fnames)
     prehdus_list = prehdus_list or [None] * n
     zbest_paths = zbest_paths or [None] * n
-    counts = [None] * n
     preps = [None] * n
     for i, f in enumerate(fnames):
         try:
@@ -1090,6 +1146,42 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
                 fitarm=fitarm, prehdus=prehdus_list[i])
         except Exception:
             _log_crash(f, 'prepare', throw_exceptions)
+    live = [i for i, p in enumerate(preps)
+            if p is not None and p['nsel'] > 0]
+    groups = {}
+    for i in live:
+        groups.setdefault(_arm_group_key(preps[i]), []).append(i)
+    units = []
+    for members in groups.values():
+        group_arms = _concat_arms([preps[i]['arms'] for i in members]) \
+            if len(members) > 1 else preps[members[0]]['arms']
+        ccf_collect = None
+        if ccf_init and dispatch_ccf:
+            try:
+                ccf_collect = ccf_mod.fit_batch_async(
+                    _ccf_args(group_arms), config)
+            except Exception as exc:
+                logging.debug('CCF dispatch failed: %s', exc)
+
+                def ccf_collect(exc=exc):
+                    # surfaces in _run_group_fit's CCF except path,
+                    # which degrades to default start parameters —
+                    # identical to a synchronous CCF failure
+                    raise exc
+        units.append(dict(members=members, arms=group_arms,
+                          ccf=ccf_collect))
+    return dict(fnames=list(fnames), preps=preps, units=units)
+
+
+def fit_desi_group(gprep, tab_ofnames, mod_ofnames, fig_prefixes,
+                   config, options, doplot=False, templates=None,
+                   cmdline=None, throw_exceptions=False,
+                   defer_finish=False, ccf_init=True):
+    """Fit + write stage of a coalesced group prepared by
+    prepare_desi_group (see proc_desi_group for the semantics of the
+    return value and ``defer_finish``)."""
+    preps = gprep['preps']
+    counts = [None] * len(preps)
     # ALL output writes (including empty files and per-file retries)
     # are deferred into `pending` and run by finish() — with
     # defer_finish that is proc_many's single writer thread, so no
@@ -1119,25 +1211,22 @@ def proc_desi_group(fnames, tab_ofnames, mod_ofnames, fig_prefixes,
             w()
         return counts
 
-    live = [i for i, p in enumerate(preps)
-            if p is not None and p['nsel'] > 0]
-    if not live:
+    if not gprep['units']:
         if defer_finish:
             return counts, finish
         return finish()
     if templates is None:
+        first_live = gprep['units'][0]['members'][0]
         templates = library.load_template_models(
-            config, {f'desi_{s}' for s in preps[live[0]]['setups']})
+            config, {f'desi_{s}' for s in preps[first_live]['setups']})
 
-    groups = {}
-    for i in live:
-        groups.setdefault(_arm_group_key(preps[i]), []).append(i)
-    for members in groups.values():
-        group_arms = _concat_arms([preps[i]['arms'] for i in members]) \
-            if len(members) > 1 else preps[members[0]]['arms']
+    for unit in gprep['units']:
+        members = unit['members']
+        group_arms = unit['arms']
         try:
             fit = _run_group_fit(group_arms, templates, config, options,
-                                 ccf_init=ccf_init)
+                                 ccf_init=ccf_init,
+                                 ccf_collect=unit['ccf'])
             lo = 0
             for i in members:
                 p = preps[i]
@@ -1532,19 +1621,33 @@ def _proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                              for s in kw.get('setups', ('b', 'r', 'z'))})
             except Exception:
                 templates = None
-        i = 0
-        while i < len(work):
-            grp = work[i:i + coalesce]
-            i += len(grp)
+        # split the remaining kwargs between the two group stages
+        prep_keys = ('setups', 'minsn', 'fit_targetid', 'expid_range',
+                     'ccf_init', 'use_resolution_matrix', 'zbest_select',
+                     'objtype_mask', 'objtypes', 'target_tables',
+                     'fitarm')
+        prep_kw = {k: kw.pop(k) for k in prep_keys if k in kw}
+        fit_ccf_init = prep_kw.get('ccf_init', True)
+        cmdline = kw.pop('cmdline', None)
+        if kw:
+            raise TypeError('unexpected proc_many kwargs: %s'
+                            % sorted(kw))
+
+        def build_inputs(grp):
+            """Pre-read HDUs, redrock paths and figure prefixes for a
+            group (waits on the lookahead reader threads)."""
             fnames = [g[0] for g in grp]
-            prefetch_many(fnames)
-            # next group's reads overlap this group's device fit
-            prefetch_many([g[0] for g in work[i:i + coalesce]])
             prehdus_list = []
             for f in fnames:
-                ev, holder = pfmap.pop(f)
-                ev.wait()
-                prehdus_list.append(holder.get('fp'))
+                ev, holder = pfmap.pop(f, (None, None))
+                if ev is None:
+                    try:
+                        prehdus_list.append(fitsio.read(f))
+                    except Exception:
+                        prehdus_list.append(None)
+                else:
+                    ev.wait()
+                    prehdus_list.append(holder.get('fp'))
             zpaths = []
             for f in fnames:
                 zb = zbest_path0
@@ -1565,13 +1668,68 @@ def _proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                         fdir, f'{figure_prefix}-{base}'))
                 else:
                     figs.append(None)
+            return fnames, prehdus_list, zpaths, figs
+
+        def do_prepare(grp):
+            fnames, prehdus_list, zpaths, figs = build_inputs(grp)
+            gp = prepare_desi_group(
+                fnames, config, zbest_paths=zpaths,
+                prehdus_list=prehdus_list, throw_exceptions=throw,
+                **prep_kw)
+            return fnames, figs, gp
+
+        # software pipeline: group N+1's host prep + CCF DISPATCH run
+        # on a lookahead thread while group N's fit occupies the main
+        # thread, so N+1's correlation tiles execute inside the idle
+        # device gaps of N's dispatch-latency-bound NM rounds and its
+        # CCF phase collapses to a fetch (RVST_PIPELINE_PREP=0
+        # restores strictly serial groups).  Host memory holds up to
+        # three groups transiently (fitting + prepped + prefetched
+        # reads).
+        pipeline = os.environ.get('RVST_PIPELINE_PREP', '1') != '0'
+
+        def spawn_prep(grp):
+            holder = dict(key=tuple(g[0] for g in grp),
+                          ev=threading.Event())
+
+            def run():
+                try:
+                    holder['out'] = do_prepare(grp)
+                except BaseException as exc:
+                    holder['exc'] = exc
+                holder['ev'].set()
+            threading.Thread(target=run, daemon=True,
+                             name='rvst-prep').start()
+            return holder
+
+        i = 0
+        nxt_prep = None
+        while i < len(work):
+            grp = work[i:i + coalesce]
+            i += len(grp)
+            key = tuple(g[0] for g in grp)
+            # next group's reads overlap this group's device fit
+            prefetch_many([g[0] for g in work[i:i + coalesce]])
             t0 = time.time()
-            out = proc_desi_group(
-                fnames, [g[2] for g in grp], [g[3] for g in grp], figs,
+            if nxt_prep is not None and nxt_prep['key'] == key:
+                nxt_prep['ev'].wait()
+                if 'exc' in nxt_prep:
+                    raise nxt_prep['exc']
+                fnames, figs, gp = nxt_prep['out']
+            else:
+                prefetch_many(key)
+                fnames, figs, gp = do_prepare(grp)
+            nxt_prep = None
+            if pipeline and i < len(work):
+                # reads for the group after next overlap this fit too
+                prefetch_many([g[0] for g in
+                               work[i + coalesce:i + 2 * coalesce]])
+                nxt_prep = spawn_prep(work[i:i + coalesce])
+            out = fit_desi_group(
+                gp, [g[2] for g in grp], [g[3] for g in grp], figs,
                 config, options or {}, templates=templates,
-                prehdus_list=prehdus_list, zbest_paths=zpaths,
-                doplot=doplot, throw_exceptions=throw,
-                defer_finish=async_write, **kw)
+                doplot=doplot, cmdline=cmdline, throw_exceptions=throw,
+                defer_finish=async_write, ccf_init=fit_ccf_init)
 
             def record(counts, dt=None, fnames=fnames, t0=t0,
                        ngrp=len(grp)):

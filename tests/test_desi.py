@@ -763,6 +763,48 @@ def test_desi_coalesce_matches_per_file(coadd_file, desi_library,
     assert len(lines) == 2 and all('SUCCESS' in ln for ln in lines)
 
 
+def test_desi_pipeline_prep_matches_serial(coadd_file, desi_library,
+                                           tmp_path):
+    """With more files than one coalesce window, proc_many's lookahead
+    prep thread prepares group N+1 (and pre-dispatches its CCF tiles,
+    ccf.fit_batch_async) while group N fits; results must match the
+    strictly serial per-file run exactly, per-file outputs and status
+    lines included."""
+    import shutil
+    fname, truth = coadd_file
+    names = [fname]
+    for k in (2, 3, 4):
+        fk = str(tmp_path / f'coadd-pl{k}.fits')
+        shutil.copy(fname, fk)
+        names.append(fk)
+    out_s = str(tmp_path / 'out_serial_pl')
+    out_p = str(tmp_path / 'out_pipelined')
+    status = str(tmp_path / 'status_pl.txt')
+    desi.main(names + ['--output_dir', out_s, '--templ_lib',
+                       desi_library, '--throw_exceptions'])
+    assert os.environ.get('RVST_PIPELINE_PREP', '1') != '0'
+    desi.main(names + ['--output_dir', out_p, '--templ_lib',
+                       desi_library, '--coalesce', '2',
+                       '--process_status_file', status,
+                       '--throw_exceptions'])
+    for base in ('test', 'pl2', 'pl3', 'pl4'):
+        rvs = fitsio.read(
+            os.path.join(out_s, f'rvtab-{base}.fits'))['RVTAB'].data
+        rvp = fitsio.read(
+            os.path.join(out_p, f'rvtab-{base}.fits'))['RVTAB'].data
+        assert len(rvp['VRAD']) == NFIB - 1
+        np.testing.assert_array_equal(rvs['TARGETID'], rvp['TARGETID'])
+        for col in ('VRAD', 'VRAD_ERR', 'TEFF', 'LOGG', 'FEH',
+                    'ALPHAFE', 'CHISQ_TOT', 'RVS_WARN', 'SUCCESS',
+                    'VRAD_CCF', 'CHISQ_CCF'):
+            np.testing.assert_allclose(
+                np.asarray(rvs[col], float), np.asarray(rvp[col], float),
+                rtol=0, atol=1e-8, err_msg=f'{base}:{col}')
+    with open(status) as fp:
+        lines = fp.read().strip().splitlines()
+    assert len(lines) == 4 and all('SUCCESS' in ln for ln in lines)
+
+
 def test_desi_coalesce_all_empty_group(coadd_file, desi_library,
                                        tmp_path):
     """A coalesced group in which EVERY file selects zero fibers must
