@@ -198,7 +198,9 @@ def driver_e2e():
     lib = _build_e2e_library(E2E_DIR)
     # --coalesce K fits K files per device batch; measuring its steady
     # state needs the files after the first (cold) group
-    coal = int(_os.environ.get('BENCH_E2E_COALESCE', '1'))
+    # default matches the driver default (--coalesce 2, the measured
+    # on-chip knee); BENCH_E2E_COALESCE=1 measures strict per-file
+    coal = int(_os.environ.get('BENCH_E2E_COALESCE', '2'))
     nfiles = int(_os.environ.get('BENCH_E2E_NFILES', '0')) or \
         (max(E2E_NFILES, 3) if coal <= 1 else 3 * coal)
     files, truths = [], []
@@ -211,8 +213,9 @@ def driver_e2e():
     argv = files + ['--output_dir', outdir, '--templ_lib', lib,
                     '--process_status_file', status,
                     '--throw_exceptions']
-    if coal > 1:
-        argv += ['--coalesce', str(coal)]
+    # always explicit: the driver default may differ from the
+    # requested BENCH_E2E_COALESCE
+    argv += ['--coalesce', str(coal)]
 
     extra = {}
     repo = _os.path.dirname(_os.path.abspath(__file__))

@@ -689,7 +689,8 @@ class BatchedFitter:
 
         def w_hessian():
             self.hessian_errors(vel_dummy, params_dummy,
-                                parnames=list(mapper.specParams))
+                                parnames=list(mapper.specParams),
+                                quiet=True)
 
         def w_models():
             self.best_models(vel_dummy, params_dummy)
@@ -1296,8 +1297,13 @@ class BatchedFitter:
 
     # -------------------------------------------------------------
     def hessian_errors(self, best_vel, params, vsinis=None, priors=None,
-                       parnames=None):
-        """Batched exact AD Hessians -> per-fiber parameter errors."""
+                       parnames=None, quiet=False):
+        """Batched exact AD Hessians -> per-fiber parameter errors.
+
+        ``quiet`` keeps the BAD_HESSIAN batch summary at DEBUG —
+        used by warm(), whose dummy inputs are nowhere near an
+        optimum, so most of their Hessians are legitimately non-PD
+        and the WARNING would read like a production failure."""
         b, ndim = np.shape(params)
         prior_rows = []
         if priors and parnames:
@@ -1339,7 +1345,7 @@ class BatchedFitter:
         nbad = int(bad.sum())
         if nbad:
             # one summary line per batch; per-fiber detail is at DEBUG
-            logging.warning(
+            (logging.debug if quiet else logging.warning)(
                 '%d/%d fibers flagged BAD_HESSIAN (robust inversion '
                 'fallback used)', nbad, b)
         return errs, covars, bad

@@ -136,15 +136,24 @@ def main(args=None):
                               args.resolution_matrix else None)
     else:
         # shapes from the template library's own setup grids (good
-        # when no survey file is at hand yet): trim 10 A of margin
+        # when no survey file is at hand yet).  The trim margin must
+        # cover the full Doppler search range: at max_vel the data
+        # wavelengths map to rest-frame lam*(1 +- ~v/c), so a fixed
+        # few-Angstrom margin fails the fitter's template-coverage
+        # check at |v| = 1000 km/s (~16 A at 4900 A)
         config = utils.read_config(
             args.config, dict(template_lib=args.templ_lib)
             if args.templ_lib else None)
         from rvspecfit_tpu.pipeline.library import load_template_model
+        c_kms = 299792.458
+        vmax = max(abs(float(config['min_vel'])),
+                   abs(float(config['max_vel'])))
+        frac = 1.25 * vmax / c_kms       # 25% safety + spline support
         for s in setups:
             tm = load_template_model(f'desi_{s}', config)
             lam = np.asarray(tm.geom.xs, np.float64)
-            sel = (lam > lam[0] + 10) & (lam < lam[-1] - 10)
+            sel = (lam > lam[0] * (1 + frac)) & \
+                  (lam < lam[-1] * (1 - frac))
             waves[s] = lam[sel]
             resol_ndiag[s] = 11 if args.resolution_matrix else None
 

@@ -1934,10 +1934,16 @@ def main(args=None):
     parser.add_argument('--nthreads', type=int, default=None,
                         help='ignored (reference compatibility): '
                         'fibers are fitted as one device batch')
-    parser.add_argument('--coalesce', type=int, default=1,
+    parser.add_argument('--coalesce', type=int, default=2,
                         help='fit up to N consecutive compatible files '
                         'as one device batch (amortizes dispatch '
-                        'latency; static file lists only)')
+                        'latency; static file lists only — queue '
+                        'inputs fall back to 1).  Default 2: the '
+                        'on-chip knee (TPU v5e, 500-fiber files: '
+                        '6.5 s/file at 1, 5.4-5.7 at 2, 5.5 at 4 '
+                        'with 4x the crash-loss window); '
+                        '--coalesce 1 restores strict per-file '
+                        'batching')
     parser.add_argument('--skipexisting', action='store_true',
                         default=False)
     parser.add_argument('--throw_exceptions', action='store_true',

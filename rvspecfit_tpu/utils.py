@@ -89,8 +89,18 @@ def enable_compilation_cache(cache_dir=None):
     try:
         import jax
         jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                          0.0)
+        # RVST_COMPILE_CACHE_READONLY=1: point at the cache but never
+        # write (XLA:CPU's executable.serialize() aborts in long-lived
+        # many-program processes — the pytest suite sets this so
+        # production entry points called in-process, e.g. desi.main,
+        # cannot re-enable writes and trip the abort; see
+        # tests/conftest.py and tools/seed_test_cache.py)
+        if os.environ.get('RVST_COMPILE_CACHE_READONLY') == '1':
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 1e9)
+        else:
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 0.0)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
         return True
     except Exception as exc:

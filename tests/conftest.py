@@ -48,6 +48,11 @@ enable_compilation_cache()
 # retry gets further).
 if os.environ.get('RVST_TEST_CACHE_WRITES') != '1':
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1e9)
+    # production entry points called in-process (desi.main, prewarm,
+    # bench helpers) run enable_compilation_cache() themselves, which
+    # would silently re-enable writes mid-suite and trip the abort;
+    # this env var makes those calls keep the cache read-only too
+    os.environ['RVST_COMPILE_CACHE_READONLY'] = '1'
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

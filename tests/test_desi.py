@@ -510,8 +510,10 @@ def test_desi_two_file_prefetch(coadd_file, desi_library, tmp_path):
     f2 = str(tmp_path / 'coadd-test2.fits')
     shutil.copy(fname, f2)
     outdir = str(tmp_path / 'out_prefetch')
+    # --coalesce 1: this test targets the per-file lookahead prefetch,
+    # not the (default) coalesced group path
     desi.main([fname, f2, '--output_dir', outdir, '--templ_lib',
-               desi_library, '--throw_exceptions'])
+               desi_library, '--coalesce', '1', '--throw_exceptions'])
     t1 = fitsio.read(os.path.join(outdir, 'rvtab-test.fits'))
     t2 = fitsio.read(os.path.join(outdir, 'rvtab-test2.fits'))
     rv1, rv2 = t1['RVTAB'].data, t2['RVTAB'].data
@@ -719,6 +721,18 @@ def test_prewarm_cli(coadd_file, desi_library):
                        '--nfibers', '4', '--log_level', 'WARNING'])
     assert rc == 0
 
+
+def test_prewarm_setups_mode(desi_library):
+    """--setups mode (no survey file at hand): wavelength grids come
+    from the template library trimmed by a VELOCITY-AWARE margin —
+    a fixed few-Angstrom trim fails the fitter's template-coverage
+    check at |v| = max_vel (regression: prewarm.py margin bug)."""
+    from rvspecfit_tpu.pipeline import prewarm
+    rc = prewarm.main(['--templ_lib', desi_library,
+                       '--setups', 'b',
+                       '--nfibers', '4', '--log_level', 'WARNING'])
+    assert rc == 0
+
 def test_desi_coalesce_matches_per_file(coadd_file, desi_library,
                                         tmp_path):
     """--coalesce 2 fits two files as ONE device batch
@@ -734,7 +748,8 @@ def test_desi_coalesce_matches_per_file(coadd_file, desi_library,
     out_c = str(tmp_path / 'out_coalesced')
     status = str(tmp_path / 'status_c.txt')
     desi.main([fname, f2, '--output_dir', out_s, '--templ_lib',
-               desi_library, '--throw_exceptions'])
+               desi_library, '--coalesce', '1',
+               '--throw_exceptions'])
     desi.main([fname, f2, '--output_dir', out_c, '--templ_lib',
                desi_library, '--coalesce', '2',
                '--process_status_file', status,
@@ -781,7 +796,8 @@ def test_desi_pipeline_prep_matches_serial(coadd_file, desi_library,
     out_p = str(tmp_path / 'out_pipelined')
     status = str(tmp_path / 'status_pl.txt')
     desi.main(names + ['--output_dir', out_s, '--templ_lib',
-                       desi_library, '--throw_exceptions'])
+                       desi_library, '--coalesce', '1',
+                       '--throw_exceptions'])
     assert os.environ.get('RVST_PIPELINE_PREP', '1') != '0'
     desi.main(names + ['--output_dir', out_p, '--templ_lib',
                        desi_library, '--coalesce', '2',

@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_pytest(target, timeout=7200):
     env = dict(os.environ, RVST_TEST_CACHE_WRITES='1')
+    env.pop('RVST_COMPILE_CACHE_READONLY', None)
     targets = [target] if isinstance(target, str) else list(target)
     t0 = time.time()
     r = subprocess.run(
