@@ -202,7 +202,7 @@ def driver_e2e():
     # on-chip knee); BENCH_E2E_COALESCE=1 measures strict per-file
     coal = int(_os.environ.get('BENCH_E2E_COALESCE', '2'))
     nfiles = int(_os.environ.get('BENCH_E2E_NFILES', '0')) or \
-        (max(E2E_NFILES, 3) if coal <= 1 else 3 * coal)
+        (max(E2E_NFILES, 3) if coal <= 1 else 4 * coal)
     files, truths = [], []
     for i in range(nfiles):
         f, t = _build_e2e_coadd(E2E_DIR, i)
@@ -242,20 +242,25 @@ def driver_e2e():
         t0 = time.time()
         desi.main(argv)
         wall = time.time() - t0
-    times = {}
+    times, stamps = {}, {}
     with open(status) as fp:
         for line in fp.read().strip().splitlines():
             parts = line.split()
             times[_os.path.basename(parts[0])] = float(parts[3])
+            if len(parts) > 4:
+                stamps[_os.path.basename(parts[0])] = float(parts[4])
     t_cold = times[_os.path.basename(files[0])]
-    if coal > 1:
-        # recorded per-file time is group wall / group size; average
-        # every file after the cold first group
-        t_steady = float(np.mean(
-            [times[_os.path.basename(f)] for f in files[coal:]]))
-    else:
-        t_steady = float(np.mean(
-            [times[_os.path.basename(f)] for f in files[1:]]))
+    ngrp0 = coal if coal > 1 else 1           # files in the cold group
+    # headline steady: WALL CLOCK between the cold group's output
+    # completion and the last file's — with deferred writes the
+    # per-file durations overlap each other (file N's write completes
+    # during file N+1's fit), so their mean over-counts; completion-
+    # timestamp differences count each steady period exactly once
+    bn = [_os.path.basename(f) for f in files]
+    t_steady = (stamps[bn[-1]] - stamps[bn[ngrp0 - 1]]) \
+        / (len(files) - ngrp0)
+    # legacy figure (mean per-file duration) kept for comparison
+    t_steady_dt = float(np.mean([times[b] for b in bn[ngrp0:]]))
 
     # recovery gate on the steady file
     tab = fitsio.read(_os.path.join(
@@ -274,6 +279,7 @@ def driver_e2e():
     extra.update(
         driver_e2e_fps=round(NFIBERS / t_steady, 3),
         driver_e2e_steady_s=round(t_steady, 2),
+        driver_e2e_steady_dt_s=round(t_steady_dt, 2),
         driver_e2e_cold_s=round(t_cold, 1),
         driver_e2e_ok=int(ok.sum()),
         driver_e2e_nfib=int(len(ok)),

@@ -173,6 +173,31 @@ def fit_continuum(lam, specs, especs, ccfconf=None, niter=40):
     return cont[0] if single else cont
 
 
+def masked_median(x, good):
+    """Per-row median of ``x`` over pixels where ``good`` is True
+    (and ``x`` is finite), vectorized with one C sort per row.
+
+    Equivalent to ``np.nanmedian(np.where(good, x, np.nan), axis=1)``
+    but ~10x faster: once NaNs are present numpy's nanmedian falls
+    back to a per-row ``apply_along_axis`` Python loop, which is real
+    wall time on the driver's prep thread (stolen from the
+    concurrently-fitting group on small hosts).  Rows with no good
+    finite pixels return NaN, matching nanmedian's all-NaN result.
+
+    x, good : (B, npix).  Returns (B,).
+    """
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    good = np.atleast_2d(np.asarray(good, bool))
+    filled = np.where(good, x, np.inf)
+    filled[~np.isfinite(filled)] = np.inf
+    s = np.sort(filled, axis=1)
+    n = (s < np.inf).sum(axis=1)
+    rows = np.arange(s.shape[0])
+    n_c = np.maximum(n, 1)
+    med = 0.5 * (s[rows, (n_c - 1) // 2] + s[rows, n_c // 2])
+    return np.where(n > 0, med, np.nan)
+
+
 def infill_bad_pixels(lam, specs, badmask):
     """Replace masked pixels by linear interpolation between the
     nearest good neighbors; edge runs take the nearest good value
@@ -183,6 +208,19 @@ def infill_bad_pixels(lam, specs, badmask):
     """
     specs = np.atleast_2d(np.asarray(specs, np.float64))
     badmask = np.atleast_2d(np.asarray(badmask, bool))
+
+    # only rows that actually contain masked pixels pay the scan/
+    # gather work below (an exposure arm often has few or none); this
+    # runs on the driver's prep thread, so host time here is stolen
+    # from the concurrently-fitting group on small hosts
+    bad_rows = badmask.any(axis=1)
+    if not bad_rows.all():
+        out = specs.copy()
+        if bad_rows.any():
+            out[bad_rows] = infill_bad_pixels(
+                lam, specs[bad_rows], badmask[bad_rows])
+        return out
+
     b, npix = specs.shape
     good = ~badmask
     cols = np.arange(npix)

@@ -46,6 +46,7 @@ from rvspecfit_tpu.fit import ccf as ccf_mod
 from rvspecfit_tpu.fit import vel_fit
 from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
 from rvspecfit_tpu.fit.spec_data import SpecData
+from rvspecfit_tpu.ops import continuum as continuum_mod
 from rvspecfit_tpu.pipeline import library
 
 TABLE_PREFIX = 'rvtab'
@@ -60,17 +61,24 @@ PROC_STATUS_EXISTING = 'EXISTING'
 
 
 def update_process_status_file(status_fname, processed_file, status,
-                               nobjects, time_sec, start=False):
+                               nobjects, time_sec, start=False,
+                               finished_at=None):
     """Append-only per-file bookkeeping enabling restart
-    (reference: desi_fit.py:61-74)."""
+    (reference: desi_fit.py:61-74).  A fifth column records the unix
+    time the file's outputs were COMPLETED (deferred writes complete
+    during the next group's fit, so completion-time differences — not
+    per-file durations, which overlap — are the honest steady-state
+    period; bench.py uses them)."""
     if start:
         with open(status_fname, 'w'):
             pass
         if processed_file is None:
             return
+    if finished_at is None:
+        finished_at = time.time()
     with open(status_fname, 'a') as fp:
-        print(f'{processed_file} {status} {nobjects} {time_sec:.2f}',
-              file=fp)
+        print(f'{processed_file} {status} {nobjects} {time_sec:.2f} '
+              f'{finished_at:.3f}', file=fp)
 
 
 # ------------------- resolution matrix handling -------------------
@@ -204,8 +212,7 @@ def get_sns(data, ivars, masks):
         warnings.simplefilter('ignore')
         bad = (ivars <= 0) | (masks > 0)
         xsn = data * np.sqrt(np.where(bad, 0, ivars))
-        xsn[bad] = np.nan
-        sns = np.nanmedian(xsn, axis=1)
+        sns = continuum_mod.masked_median(xsn, ~bad)
         sns[~np.isfinite(sns)] = -1e9
     return sns
 
@@ -445,7 +452,6 @@ def interpolate_bad_regions(specs, masks):
     the reference per-region interpolation, desi_fit.py:751-778).
 
     specs, masks : (npix,) or (B, npix); returns the input shape."""
-    from rvspecfit_tpu.ops import continuum as continuum_mod
     specs = np.asarray(specs, np.float64)
     single = specs.ndim == 1
     s2 = np.atleast_2d(specs)
@@ -497,8 +503,8 @@ def build_batch_arms(waves, fluxes, ivars, masks, resolutions, subset,
         badall_interp = baddat | mask | baderr
 
         flux = np.where(np.isfinite(flux), flux, 0.0)
-        medspec = np.nanmedian(np.where(badall, np.nan, flux), axis=1)
-        fallback = np.nanmedian(np.abs(flux), axis=1)
+        medspec = continuum_mod.masked_median(flux, ~badall)
+        fallback = np.median(np.abs(flux), axis=1)
         medspec = np.where(np.isfinite(medspec) & (medspec != 0),
                            medspec, fallback)
         medspec = np.where(np.isfinite(medspec) & (medspec != 0),
@@ -511,7 +517,7 @@ def build_batch_arms(waves, fluxes, ivars, masks, resolutions, subset,
         good = ~badall
         anygood |= good.any(axis=1)
         # clamp too-small errors (reference: desi_fit.py:866-874)
-        gmed = np.nanmedian(np.where(good, espec, np.nan), axis=1)
+        gmed = continuum_mod.masked_median(espec, good)
         gmed = np.where(np.isfinite(gmed), gmed, 1.0)
         thresh = gmed * minerr_frac
         clamp = (espec < thresh[:, None]) & good
@@ -1552,20 +1558,22 @@ def _proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
         while wslot:
             fut, record = wslot.pop(0)
             try:
-                res, dt = fut.result()
+                res, dt, ts = fut.result()
             except Exception:
                 if throw:
                     raise
-                res, dt = None, None
-            record(res, dt)
+                res, dt, ts = None, None, None
+            record(res, dt, ts)
 
     def submit_write(fn, record, t0):
-        # per-file wall time is captured when the write COMPLETES on
-        # the writer thread (not at drain time, by which the next
-        # file's fit has already overlapped the deferred write)
+        # per-file wall time AND completion timestamp are captured
+        # when the write COMPLETES on the writer thread (not at drain
+        # time, by which the next file's fit has already overlapped
+        # the deferred write)
         def timed():
             res = fn()
-            return res, time.time() - t0
+            t1 = time.time()
+            return res, t1 - t0, t1
         wslot.append((wpool.submit(timed), record))
 
     coalesce = max(1, int(coalesce or 1))
@@ -1731,7 +1739,7 @@ def _proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                 doplot=doplot, cmdline=cmdline, throw_exceptions=throw,
                 defer_finish=async_write, ccf_init=fit_ccf_init)
 
-            def record(counts, dt=None, fnames=fnames, t0=t0,
+            def record(counts, dt=None, ts=None, fnames=fnames, t0=t0,
                        ngrp=len(grp)):
                 dt = ((time.time() - t0) if dt is None else dt) / ngrp
                 for f, nobj in zip(fnames, counts or [None] * ngrp):
@@ -1739,7 +1747,8 @@ def _proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                         status = PROC_STATUS_SUCCESS \
                             if nobj is not None else PROC_STATUS_FAILURE
                         update_process_status_file(
-                            status_fname, f, status, nobj or 0, dt)
+                            status_fname, f, status, nobj or 0, dt,
+                            finished_at=ts)
 
             if async_write:
                 counts0, finish = out
@@ -1823,13 +1832,14 @@ def _proc_many(files, output_dir, output_tab_prefix=TABLE_PREFIX,
                                 templates=templates, prehdus=prehdus,
                                 defer_finish=async_write, **kw)
 
-        def record(nobj, dt=None, f=f, t0=t0):
+        def record(nobj, dt=None, ts=None, f=f, t0=t0):
             if status_fname:
                 status = PROC_STATUS_SUCCESS if nobj is not None else \
                     PROC_STATUS_FAILURE
                 update_process_status_file(
                     status_fname, f, status, nobj or 0,
-                    (time.time() - t0) if dt is None else dt)
+                    (time.time() - t0) if dt is None else dt,
+                    finished_at=ts)
 
         if not async_write:
             record(out)

@@ -27,6 +27,7 @@ from rvspecfit_tpu.fit import ccf as ccf_mod
 from rvspecfit_tpu.fit import vel_fit
 from rvspecfit_tpu.fit.batch import BatchArm, BatchedFitter
 from rvspecfit_tpu.fit.spec_data import SpecData
+from rvspecfit_tpu.ops import continuum as continuum_mod
 from rvspecfit_tpu.pipeline import library
 
 TELLURIC_BANDS = [(6850, 7000), (8130, 8350), (8940, 9240),
@@ -122,8 +123,7 @@ def proc_weave(fnames, config, threadid=0, nthreads=1,
         badmask = ivar <= 0
         with np.errstate(divide='ignore'):
             esp = 1.0 / np.sqrt(np.where(badmask, 1, ivar))
-        sns[s] = np.nanmedian(np.where(badmask, np.nan, flux / esp),
-                              axis=1)
+        sns[s] = continuum_mod.masked_median(flux / esp, ~badmask)
         arms.append(BatchArm(f'weave_{s}', wave, flux, ivar,
                              badmask=badmask, setup=f'weave_{s}'))
 

@@ -70,6 +70,46 @@ def test_infill_bad_pixels_matches_per_object():
     assert (got[~badmask] == spec[~badmask]).all()
 
 
+def test_infill_mixed_clean_and_bad_rows():
+    # the row-subset fast path: clean rows must pass through
+    # unchanged and bad rows must match the all-rows computation
+    lam, spec, _, badmask = _make_batch()
+    badmask = np.array(badmask)
+    badmask[::2] = False                      # half the rows clean
+    badmask[1::2, 5] = True                   # bad rows stay bad
+    got = C.infill_bad_pixels(lam, spec, badmask)
+    # rows that all contain bad pixels take the full path directly
+    full = C.infill_bad_pixels(lam, spec[1::2], badmask[1::2])
+    np.testing.assert_array_equal(got[::2], spec[::2])
+    np.testing.assert_allclose(got[1::2], full, rtol=1e-12)
+    # all-clean: exact passthrough
+    clean = C.infill_bad_pixels(lam, spec, np.zeros_like(badmask))
+    np.testing.assert_array_equal(clean, spec)
+
+
+def test_masked_median_matches_nanmedian():
+    rng = np.random.RandomState(7)
+    x = rng.normal(size=(40, 101))
+    x[rng.uniform(size=x.shape) < 0.05] = np.nan      # raw NaNs
+    good = rng.uniform(size=x.shape) > 0.3
+    good[3] = False                                    # all-masked row
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        ref = np.nanmedian(np.where(good, x, np.nan), axis=1)
+    got = C.masked_median(x, good)
+    np.testing.assert_allclose(got[~np.isnan(ref)], ref[~np.isnan(ref)],
+                               rtol=1e-14)
+    assert np.isnan(got[np.isnan(ref)]).all()
+    # even/odd counts hit both middle-element formulas
+    got1 = C.masked_median(np.array([3.0, 1.0, 2.0, 9.0]),
+                           np.array([True, True, True, False]))
+    np.testing.assert_allclose(got1, [2.0])
+    got2 = C.masked_median(np.array([[3.0, 1.0, 2.0, 9.0]]),
+                           np.ones((1, 4), bool))
+    np.testing.assert_allclose(got2, [2.5])
+
+
 def test_infill_all_masked_row():
     lam = np.linspace(1, 2, 8)
     spec = np.array([[1.0, np.nan, 3.0, np.inf, 5, 6, 7, 8]])
