@@ -908,7 +908,8 @@ class BatchedFitter:
         return dict(x=simplex_h[rows, ib], fun=fvals_h[rows, ib],
                     converged=done_h.copy(), obj_evals=evals[0])
 
-    def run_polish(self, mapper, x, priors=None, steps=None, fun0=None):
+    def run_polish(self, mapper, x, priors=None, steps=None, fun0=None,
+                   fetch=True):
         """Batched gradient polish — the ``second_minimizer`` stage.
 
         The reference runs a BFGS polish over [vel, params] after
@@ -1041,6 +1042,10 @@ class BatchedFitter:
         xf, ff = self._run_mb(fn, jnp.asarray(x, dt),
                               jnp.asarray(np.asarray(fun0), dt),
                               arms=self.arms_ad)
+        if not fetch:
+            # deferred mode (run_tail_async): keep the polished state
+            # on device for the downstream stages; the caller fetches
+            return dict(x=xf, fun=ff, moved=None)
         xf = np.asarray(xf, np.float64)
         ff = np.asarray(ff, np.float64)
         moved = np.any(xf != x, axis=1)
@@ -1186,8 +1191,71 @@ class BatchedFitter:
 
         return jax.jit(refine_prog)
 
+    def run_tail_async(self, mapper, x, fun=None, parnames=None,
+                       priors=None, polish=True):
+        """Dispatch the whole post-NM chain — gradient polish (opt) ->
+        device unpack -> velocity refinement -> AD Hessians -> best
+        models — WITHOUT any blocking fetch, and return a ``collect``
+        closure that fetches + host-finalizes everything.
+
+        Rationale: every stage here is a pure device program, but the
+        synchronous API fetches between stages, pinning ~2-4 s of
+        dispatch-latency-bound device work to the caller's critical
+        path.  The survey drivers instead dispatch the tail and hand
+        ``collect`` to their deferred-write thread, so group N's tail
+        executes inside the idle device gaps of group N+1's NM rounds
+        (the host-side analogue of the reference's per-node worker
+        pool overlap, desi_fit.py:1471-1481).
+
+        x : (B, nvec) NM optima (host); fun : (B,) NM best values.
+        collect() -> dict(x, fun, params, vsini, ref, errs, covars,
+        bad_hess, mods) with exactly the synchronous methods' values.
+        """
+        dt = self.dtype
+        x_host = np.asarray(x, np.float64)
+        if polish:
+            pol = self.run_polish(mapper, x_host, priors=priors,
+                                  fun0=fun, fetch=False)
+            x_dev = pol['x']
+        else:
+            pol = None
+            x_dev = jnp.asarray(x_host, dt)
+        ukey = ('unpack', mapper.cache_key())
+        ufn = self._objective_cache.get(ukey)
+        if ufn is None:
+            ufn = jax.jit(lambda pv: mapper.unpack(pv)[:3])
+            self._objective_cache[ukey] = ufn
+        vel_d, params_d, vsini_d = ufn(x_dev)
+        ref_d = self.refine_velocities(vel_d, params_d, vsinis=vsini_d,
+                                       fetch=False)
+        hess_d = self.hessian_errors(ref_d[:, 0], params_d,
+                                     vsinis=vsini_d, priors=priors,
+                                     parnames=parnames, fetch=False)
+        mods_d = self.best_models(ref_d[:, 0], params_d,
+                                  vsinis=vsini_d, fetch=False)
+
+        def collect():
+            out = {}
+            if pol is not None:
+                out['x'] = np.asarray(pol['x'], np.float64)
+                out['fun'] = np.asarray(pol['fun'], np.float64)
+            else:
+                out['x'] = x_host
+                out['fun'] = None if fun is None else \
+                    np.asarray(fun, np.float64)
+            out['params'] = np.asarray(params_d, np.float64)
+            out['vsini'] = np.asarray(vsini_d, np.float64)
+            out['ref'] = self._refine_finalize(ref_d)
+            errs, covars, bad = self._hessian_finalize(hess_d)
+            out['errs'], out['covars'], out['bad_hess'] = \
+                errs, covars, bad
+            out['mods'] = self._models_finalize(mods_d)
+            return out
+
+        return collect
+
     def refine_velocities(self, best_vel, params, vsinis=None,
-                          maxiter=10):
+                          maxiter=10, fetch=True):
         """Batched iterative velocity refinement: a full-range pass
         ("crucially we start from a broad range to capture multiple
         CCF peaks", reference vel_fit.py:368-372) followed by narrow-
@@ -1207,8 +1275,16 @@ class BatchedFitter:
             jnp.asarray(vsinis, dt)
         params_j = jnp.asarray(params, dt)
 
-        packed = np.asarray(self._run_mb(
-            refine_fn, jnp.asarray(best_vel, dt), params_j, vs))
+        packed = self._run_mb(refine_fn, jnp.asarray(best_vel, dt),
+                              params_j, vs)
+        if not fetch:
+            return packed                      # device (B, 6)
+        return self._refine_finalize(packed)
+
+    @staticmethod
+    def _refine_finalize(packed):
+        """Device (B, 6) refine output -> the host result dict."""
+        packed = np.asarray(packed, np.float64)
         logging.debug('refine_velocities window passes per tile: %s',
                       np.unique(packed[:, 5]).tolist())
         return dict(best_vel=packed[:, 0], vel_err=packed[:, 1],
@@ -1216,7 +1292,7 @@ class BatchedFitter:
                     kurtosis=packed[:, 4], iterations=packed[:, 5])
 
     # -------------------------------------------------------------
-    def best_models(self, best_vel, params, vsinis=None):
+    def best_models(self, best_vel, params, vsinis=None, fetch=True):
         """Best-fit models for every fiber and arm at the optimum.
 
         Returns dict with per-arm lists: models {name: (B, npix)},
@@ -1272,6 +1348,13 @@ class BatchedFitter:
             jnp.asarray(vsinis, self.dtype)
         flat = self._run_mb(fn, jnp.asarray(best_vel, self.dtype),
                             jnp.asarray(params, self.dtype), vs)
+        if not fetch:
+            return flat                        # device tuple
+        return self._models_finalize(flat)
+
+    def _models_finalize(self, flat):
+        """Device model tuple -> the host result dict with the masked
+        true/continuum chi-squares (host math)."""
         flat = [np.asarray(x) for x in flat]
 
         ret = dict(models={}, raw_models={}, cont_models={},
@@ -1297,7 +1380,7 @@ class BatchedFitter:
 
     # -------------------------------------------------------------
     def hessian_errors(self, best_vel, params, vsinis=None, priors=None,
-                       parnames=None, quiet=False):
+                       parnames=None, quiet=False, fetch=True):
         """Batched exact AD Hessians -> per-fiber parameter errors.
 
         ``quiet`` keeps the BAD_HESSIAN batch summary at DEBUG —
@@ -1332,10 +1415,19 @@ class BatchedFitter:
             self._objective_cache[hkey] = hess_fn
         vs = jnp.zeros(b, self.dtype) if vsinis is None else \
             jnp.asarray(vsinis, self.dtype)
-        hessians = np.asarray(self._run_mb(
+        hess_dev = self._run_mb(
             hess_fn, jnp.asarray(best_vel, self.dtype),
-            jnp.asarray(params, self.dtype), vs, arms=self.arms_ad),
-            np.float64)
+            jnp.asarray(params, self.dtype), vs, arms=self.arms_ad)
+        if not fetch:
+            return hess_dev                    # device (B, ndim, ndim)
+        return self._hessian_finalize(hess_dev, quiet=quiet)
+
+    @staticmethod
+    def _hessian_finalize(hess_dev, quiet=False):
+        """Device Hessians -> (errs, covars, bad) with the per-fiber
+        robust-inversion fallbacks (host loop)."""
+        hessians = np.asarray(hess_dev, np.float64)
+        b, ndim = hessians.shape[:2]
         errs = np.zeros((b, ndim))
         covars = np.zeros((b, ndim, ndim))
         bad = np.zeros(b, bool)

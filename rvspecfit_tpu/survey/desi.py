@@ -736,6 +736,52 @@ def _ccf_args(arms):
             for a in arms]
 
 
+class _LazyFit:
+    """Mapping view over a deferred group fit (run_tail_async).
+
+    The tail stages are already dispatched; the first key access —
+    from the deferred-write thread in production — fetches and
+    host-finalizes them exactly once (thread-safe).  An error during
+    materialization is cached and re-raised on every access, so each
+    member file's write path sees the same failure and logs its own
+    crash (matching the synchronous path's per-file isolation).
+    """
+
+    def __init__(self, collect, base):
+        import threading
+        self._collect = collect
+        self._base = base
+        self._val = None
+        self._exc = None
+        self._lock = threading.Lock()
+
+    def _materialize(self):
+        with self._lock:
+            if self._exc is not None:
+                raise self._exc
+            if self._val is None:
+                try:
+                    t0 = time.time()
+                    tail = self._collect()
+                    self._val = dict(
+                        self._base, ref=tail['ref'],
+                        params=tail['params'], vsini=tail['vsini'],
+                        errs=tail['errs'], bad_hess=tail['bad_hess'],
+                        mods=tail['mods'])
+                    logging.debug('deferred tail collected in %.2f s',
+                                  time.time() - t0)
+                except BaseException as exc:
+                    self._exc = exc
+                    raise
+            return self._val
+
+    def __getitem__(self, key):
+        return self._materialize()[key]
+
+    def __contains__(self, key):
+        return key in self._materialize()
+
+
 def _run_group_fit(arms, templates, config, options, ccf_init=True,
                    ccf_collect=None):
     """Device stage over a (possibly multi-file) stacked fiber batch:
@@ -849,6 +895,18 @@ def _run_group_fit(arms, templates, config, options, ccf_init=True,
     nmres = bf.run_neldermead(mapper, start_vel, x0=x0)
     xbest, fun_best = nmres['x'], nmres['fun']
     _phase('nm')
+    base = dict(converged=nmres['converged'], ccf_cols=ccf_cols,
+                vrad_ccf=vrad_ccf, parnames=parnames)
+    if os.environ.get('RVST_DEFER_TAIL', '1') != '0':
+        # dispatch the whole post-NM device chain without fetching;
+        # the deferred-write thread materializes it (collect), so the
+        # tail executes inside the next group's NM dispatch gaps
+        collect = bf.run_tail_async(
+            mapper, xbest, fun=fun_best, parnames=parnames,
+            polish=bool(config.get('second_minimizer')))
+        _phase('tail_dispatch')
+        logging.debug('fit phases: %s', ' '.join(_ph))
+        return _LazyFit(collect, base)
     if config.get('second_minimizer'):
         # batched gradient polish (reference default-on BFGS stage,
         # desi_fit.py -> vel_fit.py:653-660)
@@ -865,9 +923,7 @@ def _run_group_fit(arms, templates, config, options, ccf_init=True,
     _phase('models')
     logging.debug('fit phases: %s', ' '.join(_ph))
     return dict(ref=ref, params=params_b, vsini=vsini_b, errs=errs,
-                bad_hess=bad_hess, converged=nmres['converged'],
-                mods=mods, ccf_cols=ccf_cols, vrad_ccf=vrad_ccf,
-                parnames=parnames)
+                bad_hess=bad_hess, mods=mods, **base)
 
 
 def _finish_one(prep, fit, lo, tab_ofname, mod_ofname, fig_prefix,

@@ -821,6 +821,41 @@ def test_desi_pipeline_prep_matches_serial(coadd_file, desi_library,
     assert len(lines) == 4 and all('SUCCESS' in ln for ln in lines)
 
 
+def test_desi_defer_tail_matches_sync(coadd_file, desi_library,
+                                      tmp_path, monkeypatch):
+    """The deferred post-NM tail (run_tail_async: polish -> device
+    unpack -> refine -> Hessians -> models dispatched without fetches,
+    materialized by the writer thread) must reproduce the synchronous
+    phase-by-phase path exactly."""
+    fname, truth = coadd_file
+    out_s = str(tmp_path / 'out_sync_tail')
+    out_d = str(tmp_path / 'out_defer_tail')
+    monkeypatch.setenv('RVST_DEFER_TAIL', '0')
+    desi.main([fname, '--output_dir', out_s, '--templ_lib',
+               desi_library, '--throw_exceptions'])
+    monkeypatch.setenv('RVST_DEFER_TAIL', '1')
+    desi.main([fname, '--output_dir', out_d, '--templ_lib',
+               desi_library, '--throw_exceptions'])
+    rvs = fitsio.read(
+        os.path.join(out_s, 'rvtab-test.fits'))['RVTAB'].data
+    rvd = fitsio.read(
+        os.path.join(out_d, 'rvtab-test.fits'))['RVTAB'].data
+    np.testing.assert_array_equal(rvs['TARGETID'], rvd['TARGETID'])
+    for col in ('VRAD', 'VRAD_ERR', 'VSINI', 'TEFF', 'LOGG', 'FEH',
+                'ALPHAFE', 'TEFF_ERR', 'CHISQ_TOT', 'CHISQ_C_TOT',
+                'RVS_WARN', 'SUCCESS', 'VRAD_CCF', 'VRAD_SKEW'):
+        np.testing.assert_allclose(
+            np.asarray(rvs[col], float), np.asarray(rvd[col], float),
+            rtol=0, atol=1e-8, err_msg=col)
+    mods_s = fitsio.read(os.path.join(out_s, 'rvmod-test.fits'))
+    mods_d = fitsio.read(os.path.join(out_d, 'rvmod-test.fits'))
+    for s in ('B', 'R', 'Z'):
+        np.testing.assert_allclose(
+            np.asarray(mods_s[f'{s}_MODEL'].data, float),
+            np.asarray(mods_d[f'{s}_MODEL'].data, float),
+            rtol=0, atol=1e-8, err_msg=s)
+
+
 def test_desi_coalesce_all_empty_group(coadd_file, desi_library,
                                        tmp_path):
     """A coalesced group in which EVERY file selects zero fibers must
